@@ -1,0 +1,87 @@
+"""Change-event and transcript schemas + event normalization/quarantine.
+
+Reference parity:
+- "Entities without id are rejected" (/root/reference/investigraph/model/context.py:130-132)
+  → events with a null key column are quarantined, never applied.
+- "Transform errors are logged and swallowed per record"
+  (/root/reference/investigraph/pipeline.py:89-94) → bad events go to a
+  quarantine DataFrame (side channel), they never abort the epoch.
+- Fragment ordinal (/root/reference/investigraph/logic/load.py:25-31) → ``seq``,
+  the binlog position and total-order tie-breaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Primary key of the transcript table (input_hint).
+KEY_COLS: tuple[str, ...] = ("conv_id", "turn_idx")
+
+#: Payload columns of the base transcript table (additive evolution may add more).
+PAYLOAD_COLS: tuple[str, ...] = ("role", "text", "tool")
+
+#: Recognized change operations. insert/update/upsert all carry a payload and are
+#: resolved identically under LWW (the reference's merge is likewise op-agnostic:
+#: /root/reference/investigraph/logic/aggregate.py:25-28); delete is a tombstone.
+OPS: tuple[str, ...] = ("insert", "update", "delete", "upsert")
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+CHANGE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+#: Columns every change event must carry non-null to be applicable.
+_REQUIRED = ("op", "conv_id", "turn_idx", "ts", "seq")
+
+
+def _valid_predicate():
+    cond = F.col("op").isin(*OPS)
+    for c in _REQUIRED:
+        cond = cond & F.col(c).isNotNull()
+    # Null-safe: a null op makes isin() null, which filter() would silently
+    # drop from BOTH branches — coalesce pins it to False (→ quarantine).
+    return F.coalesce(cond, F.lit(False))
+
+
+def normalize_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a raw event batch into (valid, quarantined) and canonicalize types.
+
+    Pure Catalyst expressions — the whole check stays inside one codegen stage,
+    no shuffle. Extra columns (schema evolution) pass through untouched.
+    """
+    base_cols = {f.name for f in CHANGE_EVENT_SCHEMA.fields}
+    extra = [c for c in events.columns if c not in base_cols]
+    canon = events.select(
+        F.lower(F.col("op")).cast("string").alias("op"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        *[
+            F.col(c).cast(CHANGE_EVENT_SCHEMA[c].dataType).alias(c)
+            for c in ("role", "text", "tool", "ts", "seq")
+        ],
+        *[F.col(c) for c in extra],
+    )
+    valid = canon.filter(_valid_predicate())
+    quarantined = canon.filter(~_valid_predicate())
+    return valid, quarantined

@@ -1,0 +1,198 @@
+"""Commit log for the lake table: ordered JSON commit files + periodic checkpoints.
+
+Analog of Iceberg's metadata/snapshot chain, sized down to what the engine
+needs. Reference parity: the content-keyed task cache that makes re-ingest
+idempotent (/root/reference/investigraph/pipeline.py:37-47,
+/root/reference/investigraph/cache.py:41-45) becomes the ``(app_id, epoch_id)``
+idempotency token stored on each commit — a re-delivered micro-batch finds its
+token already committed and is skipped.
+
+Scale notes (100 TB): state reconstruction is O(commits since last checkpoint)
+— a checkpoint (full live-file list) is written every ``CHECKPOINT_EVERY``
+commits, so tail replay stays bounded no matter how long the stream runs. The
+log itself is tiny (file names + stats, not data). Single-writer discipline is
+assumed (one streaming query owns a table — north-star keeps it that way);
+atomic O_EXCL creation of the next version file turns a second concurrent
+writer into a clean conflict error instead of corruption.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+CHECKPOINT_EVERY = 20
+_LOG_DIR = "_log"
+
+
+@dataclass
+class Commit:
+    version: int
+    added: list[str] = field(default_factory=list)
+    removed: list[str] = field(default_factory=list)
+    schema: dict | None = None  # Spark StructType jsonValue
+    n_buckets: int | None = None
+    key_cols: list[str] | None = None
+    app_id: str | None = None
+    epoch_id: int | None = None
+    metrics: dict[str, Any] = field(default_factory=dict)
+    committed_at: float = 0.0
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "added": self.added,
+            "removed": self.removed,
+            "schema": self.schema,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "app_id": self.app_id,
+            "epoch_id": self.epoch_id,
+            "metrics": self.metrics,
+            "committed_at": self.committed_at,
+        }
+
+
+@dataclass
+class TableState:
+    version: int
+    live_files: list[str]          # relative to the table's data dir
+    schema: dict | None
+    n_buckets: int
+    key_cols: list[str]
+    committed_epochs: set[tuple[str | None, int]]  # (app_id, epoch_id)
+    commits: list[Commit]          # commits replayed after the checkpoint
+
+
+class CommitLog:
+    def __init__(self, table_root: str) -> None:
+        self.root = table_root
+        self.log_dir = os.path.join(table_root, _LOG_DIR)
+
+    # ---- paths ----------------------------------------------------------
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and bool(self._list_versions())
+
+    def _list_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                out.append(int(name.split(".")[0]))
+        return sorted(out)
+
+    def _list_checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".checkpoint.json")
+        )
+
+    # ---- read -----------------------------------------------------------
+    def read_state(self, at_version: int | None = None) -> TableState | None:
+        """Reconstruct table state (optionally as of an older version = time travel)."""
+        versions = self._list_versions()
+        if at_version is not None:
+            versions = [v for v in versions if v <= at_version]
+        if not versions:
+            return None
+
+        live: set[str] = set()
+        schema = None
+        n_buckets = 0
+        key_cols: list[str] = []
+        epochs: set[tuple[str | None, int]] = set()
+        commits: list[Commit] = []
+
+        start = 0
+        cps = [c for c in self._list_checkpoints() if c <= versions[-1]]
+        if cps:
+            with open(self._checkpoint_path(cps[-1])) as f:
+                cp = json.load(f)
+            live = set(cp["live_files"])
+            schema = cp["schema"]
+            n_buckets = cp["n_buckets"]
+            key_cols = cp["key_cols"]
+            epochs = {(a, e) for a, e in cp["committed_epochs"]}
+            start = cp["version"]
+
+        for v in versions:
+            if v <= start:
+                continue
+            with open(self._version_path(v)) as f:
+                c = json.load(f)
+            live.difference_update(c["removed"])
+            live.update(c["added"])
+            if c.get("schema"):
+                schema = c["schema"]
+            if c.get("n_buckets"):
+                n_buckets = c["n_buckets"]
+            if c.get("key_cols"):
+                key_cols = c["key_cols"]
+            if c.get("epoch_id") is not None:
+                epochs.add((c.get("app_id"), c["epoch_id"]))
+            commits.append(Commit(**{k: c.get(k) for k in Commit.__dataclass_fields__}))
+
+        return TableState(
+            version=versions[-1],
+            live_files=sorted(live),
+            schema=schema,
+            n_buckets=n_buckets,
+            key_cols=key_cols,
+            committed_epochs=epochs,
+            commits=commits,
+        )
+
+    def latest_version(self) -> int:
+        vs = self._list_versions()
+        return vs[-1] if vs else 0
+
+    # ---- write ----------------------------------------------------------
+    def commit(self, commit: Commit) -> None:
+        """Atomically publish the next commit; O_EXCL create = conflict-safe."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        commit.committed_at = time.time()
+        path = self._version_path(commit.version)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(commit.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # fails with EEXIST on writer conflict
+        finally:
+            os.unlink(tmp)
+        if commit.version % CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(commit.version)
+
+    def _write_checkpoint(self, version: int) -> None:
+        state = self.read_state(at_version=version)
+        if state is None:
+            return
+        cp = {
+            "version": version,
+            "live_files": state.live_files,
+            "schema": state.schema,
+            "n_buckets": state.n_buckets,
+            "key_cols": state.key_cols,
+            "committed_epochs": sorted(
+                [list(t) for t in state.committed_epochs], key=lambda t: (str(t[0]), t[1])
+            ),
+        }
+        path = self._checkpoint_path(version)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cp, f)
+        os.replace(tmp, path)

@@ -1,0 +1,360 @@
+"""LakeTable — bucketed, transactional parquet table with copy-on-write MERGE.
+
+Physical layout::
+
+    <root>/_log/00000000000000000001.json       commit chain (see log.py)
+    <root>/data/bucket=<i>/<commit-uuid>-*.parquet
+
+Key design decisions, each driven by 100 TB scale:
+
+- **Hash-bucketed by conv_id** (``pmod(xxhash64(conv_id), n_buckets)``): a
+  MERGE reads and rewrites ONLY the buckets its batch touches — file-level
+  partition pruning without a metastore. A micro-batch touching 1% of
+  conversations rewrites ~1% of the table, not all of it. turn_idx stays
+  inside the bucket so a whole conversation is co-located.
+- **LWW state lives in the table** as hidden columns ``_ts``/``_seq``/
+  ``_deleted``: cross-epoch conflicts (late update after delete, duplicate
+  epochs) resolve by comparing stamps, so the MERGE is a pure idempotent
+  function of (table state, batch) — reapplying any batch is a no-op.
+  Tombstones are physical rows (filtered on read) so a stale update can never
+  resurrect a deleted turn; ``vacuum`` can age them out.
+- **MERGE = union + max_by re-reduce**, not a join: old rows of touched
+  buckets become pseudo-events and are re-reduced with the batch winners by
+  the same ``resolve_lww`` aggregation. One shuffle, over data that must be
+  rewritten anyway; no broadcast needed, no skew-sensitive join. (With a real
+  Iceberg catalog this function body becomes ``MERGE INTO``.)
+- **Additive schema evolution**: new event columns widen the table schema on
+  commit; old files are read with the widened schema (missing columns → null),
+  mirroring the reference's tolerance for new record keys
+  (/root/reference/investigraph/model/mapping.py:9-29). Type changes/drops are
+  rejected.
+- **Exactly-once**: each MERGE carries an ``(app_id, epoch_id)`` token stored
+  in the commit log; a re-delivered micro-batch (foreachBatch retry, stream
+  restart) is detected and skipped before any work happens.
+
+Reference parity for the sink itself: keyed idempotent upsert store
+(/root/reference/investigraph/logic/load.py:25-31) and fragment append
+(/root/reference/investigraph/logic/load.py:44-54).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from investigraph_etl_spark.cdc.events import KEY_COLS
+from investigraph_etl_spark.lake.log import Commit, CommitLog
+
+HIDDEN_COLS = ("_ts", "_seq", "_deleted")
+_BUCKET_COL = "bucket"  # physical partition dir column; reserved name
+
+
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+class EpochAlreadyApplied(Exception):
+    """Raised (or signalled via merge() return) when an epoch token was already committed."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.log = CommitLog(root)
+
+    # ------------------------------------------------------------------ setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        key_cols: tuple[str, ...] = KEY_COLS,
+    ) -> "LakeTable":
+        """Create an empty table (commit 1 = schema + layout, no files)."""
+        t = cls(spark, root)
+        if t.log.exists():
+            raise FileExistsError(f"table already exists at {root}")
+        os.makedirs(t.data_dir, exist_ok=True)
+        physical = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_ts", T.TimestampType(), True),
+                T.StructField("_seq", T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), False),
+            ]
+        )
+        t.log.commit(
+            Commit(
+                version=1,
+                schema=physical.jsonValue(),
+                n_buckets=n_buckets,
+                key_cols=list(key_cols),
+            )
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        if not t.log.exists():
+            raise FileNotFoundError(f"no lake table at {root}")
+        return t
+
+    # ------------------------------------------------------------------ state
+    def _state(self, at_version: int | None = None):
+        st = self.log.read_state(at_version)
+        if st is None:
+            raise FileNotFoundError(f"no lake table at {self.root}")
+        return st
+
+    @property
+    def version(self) -> int:
+        return self._state().version
+
+    def physical_schema(self, at_version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self._state(at_version).schema)
+
+    def schema(self) -> T.StructType:
+        """Public (logical) schema: physical minus hidden columns."""
+        return T.StructType(
+            [f for f in self.physical_schema().fields if f.name not in HIDDEN_COLS]
+        )
+
+    def committed_epochs(self) -> set[tuple[str | None, int]]:
+        return self._state().committed_epochs
+
+    # ------------------------------------------------------------------ read
+    def _read_files(
+        self, files: list[str], schema: T.StructType, with_bucket: bool = False
+    ) -> DataFrame:
+        reader_schema = T.StructType(
+            list(schema.fields) + [T.StructField(_BUCKET_COL, T.IntegerType(), True)]
+        )
+        if not files:
+            df = self.spark.createDataFrame([], reader_schema)
+        else:
+            paths = [os.path.join(self.data_dir, f) for f in files]
+            # Explicit schema: files written before a column existed read as null
+            # (additive evolution); basePath materializes the bucket partition col.
+            df = (
+                self.spark.read.schema(reader_schema)
+                .option("basePath", self.data_dir)
+                .parquet(*paths)
+            )
+        return df if with_bucket else df.drop(_BUCKET_COL)
+
+    def read(self, at_version: int | None = None) -> DataFrame:
+        """Live rows, public schema (tombstones and hidden columns stripped)."""
+        st = self._state(at_version)
+        schema = T.StructType.fromJson(st.schema)
+        df = self._read_files(st.live_files, schema)
+        public = [f.name for f in schema.fields if f.name not in HIDDEN_COLS]
+        return df.filter(~F.col("_deleted")).select(*public)
+
+    def read_physical(self, buckets: list[int] | None = None) -> DataFrame:
+        """All physical rows incl. tombstones; optionally pruned to buckets."""
+        st = self._state()
+        files = st.live_files
+        if buckets is not None:
+            want = {f"{_BUCKET_COL}={b}" for b in buckets}
+            files = [f for f in files if f.split("/")[0] in want]
+        return self._read_files(files, T.StructType.fromJson(st.schema))
+
+    # ------------------------------------------------------------------ write
+    def _evolve_schema(
+        self, current: T.StructType, batch_cols: list[tuple[str, T.DataType]]
+    ) -> T.StructType:
+        """Additively widen the physical schema with new payload columns."""
+        names = {f.name for f in current.fields}
+        fields = list(current.fields)
+        hidden = [f for f in fields if f.name in HIDDEN_COLS]
+        visible = [f for f in fields if f.name not in HIDDEN_COLS]
+        for name, dtype in batch_cols:
+            if isinstance(dtype, T.NullType):
+                # An all-null batch column carries no type information (pandas
+                # all-None inference); keep/ignore, cast handled at select time.
+                continue
+            if name in names:
+                existing = current[name].dataType
+                if existing != dtype:
+                    raise TypeError(
+                        f"schema evolution is additive-only: column {name!r} is "
+                        f"{existing.simpleString()}, batch has {dtype.simpleString()}"
+                    )
+            else:
+                visible.append(T.StructField(name, dtype, True))
+        return T.StructType(visible + hidden)
+
+    def _write_data(self, df: DataFrame, n_buckets: int) -> list[str]:
+        """Write df (must contain the bucket col) into data/, return new rel paths."""
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.root, "_staging", token)
+        df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(staging)
+        added: list[str] = []
+        for bucket_dir in sorted(os.listdir(staging)):
+            if not bucket_dir.startswith(f"{_BUCKET_COL}="):
+                continue
+            dst_dir = os.path.join(self.data_dir, bucket_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in sorted(os.listdir(os.path.join(staging, bucket_dir))):
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = f"{bucket_dir}/{token}-{fname}"
+                os.rename(
+                    os.path.join(staging, bucket_dir, fname),
+                    os.path.join(self.data_dir, rel),
+                )
+                added.append(rel)
+        shutil.rmtree(os.path.join(self.root, "_staging", token), ignore_errors=True)
+        return added
+
+    def merge(
+        self,
+        resolved: DataFrame,
+        app_id: str | None = None,
+        epoch_id: int | None = None,
+        extra_metrics: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """MERGE one LWW-resolved batch (one row per key, cols: key, op,
+        payload..., ts, seq) into the table. Returns commit metrics.
+
+        Exactly-once: if (app_id, epoch_id) was already committed the call is a
+        recorded no-op. Copy-on-write: only buckets present in the batch are
+        read and rewritten.
+        """
+        st = self._state()
+        if epoch_id is not None and (app_id, epoch_id) in st.committed_epochs:
+            return {"skipped": True, "reason": "epoch already committed", "version": st.version}
+
+        current = T.StructType.fromJson(st.schema)
+        payload_types = [
+            (f.name, f.dataType)
+            for f in resolved.schema.fields
+            if f.name not in {*KEY_COLS, "op", "ts", "seq"}
+        ]
+        physical = self._evolve_schema(current, payload_types)
+        payload_names = [f.name for f in physical.fields if f.name not in {*KEY_COLS, "ts", *HIDDEN_COLS}]
+
+        batch = resolved.withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
+        touched = [r[0] for r in batch.select(_BUCKET_COL).distinct().collect()]
+
+        # Existing rows of touched buckets → pseudo-events with their stored stamp.
+        existing = self.read_physical(buckets=touched)
+        existing_ev = existing.select(
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+            *KEY_COLS,
+            *[
+                (F.col(c) if c in existing.columns else F.lit(None).cast(physical[c].dataType)).alias(c)
+                for c in payload_names
+            ],
+            F.col("_ts").alias("ts"),
+            F.col("_seq").alias("seq"),
+        )
+        # Enforce the physical schema on every batch column (callers may hand
+        # pandas-inferred wider types, e.g. int64 turn_idx).
+        batch_ev = batch.select(
+            F.col("op").cast("string").alias("op"),
+            *[F.col(k).cast(physical[k].dataType).alias(k) for k in KEY_COLS],
+            *[
+                (
+                    F.col(c).cast(physical[c].dataType)
+                    if c in batch.columns
+                    else F.lit(None).cast(physical[c].dataType)
+                ).alias(c)
+                for c in payload_names
+            ],
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("seq").cast("long").alias("seq"),
+        )
+
+        from investigraph_etl_spark.cdc.resolve import resolve_lww
+
+        merged = resolve_lww(existing_ev.unionByName(batch_ev))
+        out = merged.select(
+            *KEY_COLS,
+            *payload_names,
+            # Public ts = winning writer's ts (input_hint column); hidden stamp
+            # columns keep cross-epoch LWW exact.
+            F.col("ts"),
+            F.col("ts").alias("_ts"),
+            F.col("seq").alias("_seq"),
+            (F.col("op") == F.lit("delete")).alias("_deleted"),
+        ).withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
+        # Deletes blank their payload (tombstone carries only key + stamp).
+        for c in payload_names:
+            out = out.withColumn(c, F.when(F.col("_deleted"), F.lit(None)).otherwise(F.col(c)))
+
+        added = self._write_data(out, st.n_buckets)
+        removed_set = {f"{_BUCKET_COL}={b}" for b in touched}
+        removed = [f for f in st.live_files if f.split("/")[0] in removed_set]
+
+        metrics = {"buckets_touched": len(touched), **(extra_metrics or {})}
+        self.log.commit(
+            Commit(
+                version=st.version + 1,
+                added=added,
+                removed=removed,
+                schema=physical.jsonValue() if physical != current else None,
+                app_id=app_id,
+                epoch_id=epoch_id,
+                metrics=metrics,
+            )
+        )
+        return {"skipped": False, "version": st.version + 1, **metrics}
+
+    def append(self, df: DataFrame, metrics: dict[str, Any] | None = None) -> dict[str, Any]:
+        """Blind append (initial bulk load path): rows must match public schema;
+        stamps default to (ts, -1), live."""
+        st = self._state()
+        physical = T.StructType.fromJson(st.schema)
+        out = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in physical.fields
+                if f.name not in HIDDEN_COLS
+            ],
+            F.col("ts").alias("_ts"),
+            F.lit(-1).cast("long").alias("_seq"),
+            F.lit(False).alias("_deleted"),
+        ).withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
+        added = self._write_data(out, st.n_buckets)
+        self.log.commit(
+            Commit(version=st.version + 1, added=added, metrics=metrics or {})
+        )
+        return {"version": st.version + 1, "files_added": len(added)}
+
+    # ------------------------------------------------------------------ maintenance
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the CURRENT version. Returns count.
+
+        (Production would honor a retention window to keep time travel; the
+        sandbox variant reclaims immediately.)
+        """
+        st = self._state()
+        live = set(st.live_files)
+        removed = 0
+        for bucket_dir in os.listdir(self.data_dir):
+            bd = os.path.join(self.data_dir, bucket_dir)
+            if not os.path.isdir(bd):
+                continue
+            for fname in os.listdir(bd):
+                rel = f"{bucket_dir}/{fname}"
+                if rel not in live:
+                    os.unlink(os.path.join(bd, fname))
+                    removed += 1
+        return removed
+
+    def history(self) -> list[dict]:
+        """Commit lineage (the `_commits` sidecar view)."""
+        st = self._state()
+        return [c.to_json() for c in st.commits]

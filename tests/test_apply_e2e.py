@@ -1,0 +1,105 @@
+"""End-to-end batch apply: full adversarial tail, applied epoch by epoch through
+apply_events_batch, must reach 100% per-turn text equality with the pandas
+replay oracle — and be invariant to how the tail is chopped into epochs
+(the generalization of the reference's chunk_size-invariance test,
+/root/reference/tests/test_pipeline.py:72-79)."""
+
+import pandas as pd
+import pytest
+
+from investigraph_etl_spark.cdc.apply import apply_events_batch, read_metrics
+from investigraph_etl_spark.cdc.events import TRANSCRIPT_SCHEMA
+from investigraph_etl_spark.cdc.generator import GeneratorConfig, generate_events
+from investigraph_etl_spark.cdc.oracle import replay_oracle
+from investigraph_etl_spark.lake.table import LakeTable
+
+PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _apply_all(spark, root, ev, n_salts=None):
+    table = LakeTable.create(spark, root, TRANSCRIPT_SCHEMA, n_buckets=8)
+    for epoch, part in ev.groupby("epoch", sort=True):
+        batch = spark.createDataFrame(part.drop(columns=["epoch"]))
+        apply_events_batch(table, batch, app_id="e2e", epoch_id=int(epoch), n_salts=n_salts)
+    return table
+
+
+def _final(table):
+    return (
+        table.read()
+        .toPandas()[PAYLOAD]
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("n_salts", [None, 8])
+def test_e2e_matches_oracle(spark, tmp_path, n_salts):
+    ev = generate_events(GeneratorConfig(n_events=6000, seed=42, n_epochs=5))
+    table = _apply_all(spark, str(tmp_path / "t"), ev, n_salts=n_salts)
+    got = _final(table)
+    want = replay_oracle(ev.drop(columns=["epoch"]))[PAYLOAD].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # 100% per-turn text equality, explicitly (BASELINE.json correctness gate)
+    assert (got["text"].fillna("∅") == want["text"].fillna("∅")).all()
+
+
+def test_e2e_epoch_partitioning_invariance(spark, tmp_path):
+    """Same tail, chopped into 2 vs 9 epochs ⇒ byte-identical final table."""
+    base = GeneratorConfig(n_events=4000, seed=7, n_epochs=2)
+    ev_a = generate_events(base)
+    ev_b = ev_a.copy()
+    ev_b["epoch"] = (pd.RangeIndex(len(ev_b)) * 9 // len(ev_b)).astype("int64")
+    ta = _apply_all(spark, str(tmp_path / "a"), ev_a)
+    tb = _apply_all(spark, str(tmp_path / "b"), ev_b)
+    pd.testing.assert_frame_equal(_final(ta), _final(tb))
+
+
+def test_e2e_quarantine_and_metrics(spark, tmp_path):
+    ev = generate_events(GeneratorConfig(n_events=1000, seed=3, n_epochs=1))
+    bad = ev.head(20).copy()
+    bad["conv_id"] = None  # null key → quarantine, never applied
+    evq = pd.concat([ev, bad], ignore_index=True)
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, n_buckets=8)
+    res = apply_events_batch(
+        table, spark.createDataFrame(evq.drop(columns=["epoch"])), app_id="q", epoch_id=0
+    )
+    assert res["events_quarantined"] == 20
+    assert res["events_applied"] == len(ev)
+
+    m = read_metrics(table).toPandas()
+    assert m["events_applied"].sum() == len(ev)
+    assert (m["conflicts_resolved"] >= 0).all()
+    assert m["watermark_pos"].notna().all()
+    # final state matches oracle despite the junk rows
+    want = replay_oracle(ev.drop(columns=["epoch"]))[PAYLOAD].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(table), want, check_dtype=False)
+
+
+def test_e2e_schema_evolution_mid_stream(spark, tmp_path):
+    ev = generate_events(
+        GeneratorConfig(n_events=3000, seed=5, n_epochs=6, evolve_from_epoch=3)
+    )
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, n_buckets=8)
+    for epoch, part in ev.groupby("epoch", sort=True):
+        body = part.drop(columns=["epoch"])
+        if epoch < 3:  # early epochs genuinely lack the new columns
+            body = body.drop(columns=["tool_version", "tokens"])
+        apply_events_batch(table, spark.createDataFrame(body), app_id="se", epoch_id=int(epoch))
+
+    cols = [f.name for f in table.schema().fields]
+    assert cols[-2:] == ["tool_version", "tokens"]
+    got = (
+        table.read().toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    )
+    want = replay_oracle(ev.drop(columns=["epoch"]))
+    pd.testing.assert_frame_equal(
+        got[PAYLOAD], want[PAYLOAD].reset_index(drop=True), check_dtype=False
+    )
+    # evolved column values survive the merge for winners from evolved epochs
+    want_tokens = want["tokens"].reset_index(drop=True)
+    got_tokens = got["tokens"]
+    assert (got_tokens.isna() == want_tokens.isna()).all()
+    both = got_tokens.notna()
+    assert (got_tokens[both].astype("int64") == want_tokens[both].astype("int64")).all()

@@ -1,0 +1,163 @@
+"""LakeTable: atomic commits, bucket-pruned MERGE, tombstones, schema evolution,
+time travel, vacuum, exactly-once epoch tokens."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from investigraph_etl_spark.cdc.events import TRANSCRIPT_SCHEMA
+from investigraph_etl_spark.cdc.generator import GeneratorConfig, generate_events
+from investigraph_etl_spark.cdc.resolve import resolve_lww
+from investigraph_etl_spark.lake.table import LakeTable
+
+
+def _resolved(spark, pdf):
+    return resolve_lww(spark.createDataFrame(pdf.drop(columns=["epoch"])))
+
+
+def test_create_load_schema(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=8)
+    assert t.version == 1
+    t2 = LakeTable.load(spark, tmp_table_root)
+    assert [f.name for f in t2.schema().fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    assert t2.read().count() == 0
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA)
+
+
+def test_merge_upsert_delete_across_epochs(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=8)
+    t0 = pd.Timestamp("2025-01-01")
+
+    def ev(rows):
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    b1 = resolve_lww(ev([
+        {"op": "insert", "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hello", "tool": None, "ts": t0, "seq": 1},
+        {"op": "insert", "conv_id": "c2", "turn_idx": 0, "role": "user",
+         "text": "hi", "tool": None, "ts": t0, "seq": 2},
+    ]))
+    t.merge(b1, app_id="t", epoch_id=0)
+    assert t.read().count() == 2
+
+    # epoch 2: update c1 (newer ts), delete c2, stale update to c2 in SAME batch loses
+    b2 = resolve_lww(ev([
+        {"op": "update", "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hello v2", "tool": None, "ts": t0 + pd.Timedelta("1h"), "seq": 3},
+        {"op": "delete", "conv_id": "c2", "turn_idx": 0, "role": None,
+         "text": None, "tool": None, "ts": t0 + pd.Timedelta("1h"), "seq": 4},
+    ]))
+    t.merge(b2, app_id="t", epoch_id=1)
+    live = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert live == {"c1": "hello v2"}
+
+    # epoch 3: LATE update to the deleted c2 (older ts than tombstone) — no resurrection.
+    b3 = resolve_lww(ev([
+        {"op": "update", "conv_id": "c2", "turn_idx": 0, "role": "user",
+         "text": "zombie", "tool": None, "ts": t0 + pd.Timedelta("30min"), "seq": 5},
+    ]))
+    t.merge(b3, app_id="t", epoch_id=2)
+    assert sorted(r["conv_id"] for r in t.read().collect()) == ["c1"]
+
+    # epoch 4: strictly newer update to c2 resurrects.
+    b4 = resolve_lww(ev([
+        {"op": "upsert", "conv_id": "c2", "turn_idx": 0, "role": "user",
+         "text": "reborn", "tool": None, "ts": t0 + pd.Timedelta("2h"), "seq": 6},
+    ]))
+    t.merge(b4, app_id="t", epoch_id=3)
+    live = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert live == {"c1": "hello v2", "c2": "reborn"}
+
+
+def test_merge_exactly_once_epoch_token(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=8)
+    ev = generate_events(GeneratorConfig(n_events=500, seed=5))
+    r = _resolved(spark, ev)
+    first = t.merge(r, app_id="t", epoch_id=7)
+    assert not first["skipped"]
+    before = t.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    again = t.merge(r, app_id="t", epoch_id=7)
+    assert again["skipped"]
+    after = t.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # reapplying under a NEW epoch id is also a semantic no-op (LWW idempotence)
+    t.merge(r, app_id="t", epoch_id=8)
+    after2 = t.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after2)
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=16)
+    ev = generate_events(GeneratorConfig(n_events=2000, seed=6))
+    t.merge(_resolved(spark, ev), app_id="t", epoch_id=0)
+    files_before = set(t._state().live_files)
+
+    one = pd.DataFrame([{
+        "op": "update", "conv_id": "conv-000000", "turn_idx": 0, "role": "user",
+        "text": "bump", "tool": None, "ts": pd.Timestamp("2026-01-01"), "seq": 10**9,
+    }])
+    t.merge(resolve_lww(spark.createDataFrame(one)), app_id="t", epoch_id=1)
+    files_after = set(t._state().live_files)
+
+    changed_dirs = {f.split("/")[0] for f in files_before ^ files_after}
+    assert len(changed_dirs) == 1  # exactly the one bucket conv-000000 hashes to
+    # untouched buckets kept their physical files
+    assert len(files_before & files_after) > 0
+
+
+def test_schema_evolution_additive(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=8)
+    ev = generate_events(GeneratorConfig(n_events=300, seed=8))
+    t.merge(_resolved(spark, ev), app_id="t", epoch_id=0)
+
+    evolved = generate_events(
+        GeneratorConfig(n_events=300, seed=9, evolve_from_epoch=0, n_epochs=1)
+    )
+    evolved["seq"] += 10_000
+    evolved["ts"] += pd.Timedelta("365d")
+    t.merge(_resolved(spark, evolved), app_id="t", epoch_id=1)
+
+    cols = [f.name for f in t.schema().fields]
+    assert "tool_version" in cols and "tokens" in cols
+    out = t.read().toPandas()
+    # old rows read null in the new columns; evolved rows carry values
+    assert out["tokens"].notna().any() and out["tokens"].isna().any()
+
+    # type change is rejected
+    bad = evolved.copy()
+    bad["tokens"] = bad["tokens"].astype("Float64")
+    bad["seq"] += 10_000
+    with pytest.raises(TypeError):
+        t.merge(_resolved(spark, bad), app_id="t", epoch_id=2)
+
+
+def test_time_travel_and_vacuum(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = generate_events(GeneratorConfig(n_events=400, seed=10))
+    t.merge(_resolved(spark, ev), app_id="t", epoch_id=0)
+    v2 = t.version
+    n_v2 = t.read().count()
+
+    more = generate_events(GeneratorConfig(n_events=400, seed=20))
+    more["seq"] += 100_000
+    t.merge(_resolved(spark, more), app_id="t", epoch_id=1)
+
+    assert t.read(at_version=v2).count() == n_v2  # snapshot isolation
+    removed = t.vacuum()
+    assert removed > 0  # old versions' files reclaimed
+    assert t.read().count() > 0  # current version intact
+
+
+def test_history_lineage(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = generate_events(GeneratorConfig(n_events=200, seed=30))
+    t.merge(_resolved(spark, ev), app_id="pipeline-x", epoch_id=0,
+            extra_metrics={"events_applied": len(ev)})
+    h = t.history()
+    assert h[-1]["app_id"] == "pipeline-x"
+    assert h[-1]["metrics"]["events_applied"] == len(ev)
