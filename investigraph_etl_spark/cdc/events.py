@@ -70,17 +70,23 @@ def normalize_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     Pure Catalyst expressions — the whole check stays inside one codegen stage,
     no shuffle. Extra columns (schema evolution) pass through untouched.
     """
-    base_cols = {f.name for f in CHANGE_EVENT_SCHEMA.fields}
-    extra = [c for c in events.columns if c not in base_cols]
+    canon_types = {
+        "op": None,  # handled explicitly (lower + cast)
+        "conv_id": "string",
+        "turn_idx": "int",
+        "ts": "timestamp",
+        "seq": "long",
+    }
+    payload = [c for c in events.columns if c not in canon_types]
     canon = events.select(
         F.lower(F.col("op")).cast("string").alias("op"),
         F.col("conv_id").cast("string").alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
-        *[
-            F.col(c).cast(CHANGE_EVENT_SCHEMA[c].dataType).alias(c)
-            for c in ("role", "text", "tool", "ts", "seq")
-        ],
-        *[F.col(c) for c in extra],
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("seq").cast("long").alias("seq"),
+        # Payload passes through untouched — the tail's payload shape (incl.
+        # additively-evolved columns) is the sink schema's concern, not ours.
+        *[F.col(c) for c in payload],
     )
     valid = canon.filter(_valid_predicate())
     quarantined = canon.filter(~_valid_predicate())

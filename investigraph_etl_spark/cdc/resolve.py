@@ -26,18 +26,24 @@ from investigraph_etl_spark.cdc.events import KEY_COLS
 _EVENT_META = {"op", *KEY_COLS, "ts", "seq"}
 
 
-def event_payload_cols(events: DataFrame) -> list[str]:
+def event_payload_cols(
+    events: DataFrame, key_cols: tuple[str, ...] = KEY_COLS
+) -> list[str]:
     """Payload columns of an event batch = everything that isn't key/op/ts/seq.
 
     This is how additive schema evolution enters the engine: new columns in the
     tail simply show up here (reference analog: mappings tolerate extra record
     keys, /root/reference/investigraph/model/mapping.py:9-29).
     """
-    return [c for c in events.columns if c not in _EVENT_META]
+    meta = {"op", *key_cols, "ts", "seq"}
+    return [c for c in events.columns if c not in meta]
 
 
 def resolve_lww(
-    events: DataFrame, n_salts: int | None = None, strategy: str = "max_by"
+    events: DataFrame,
+    n_salts: int | None = None,
+    strategy: str = "max_by",
+    key_cols: tuple[str, ...] = KEY_COLS,
 ) -> DataFrame:
     """Reduce an event batch to one winning event per ``(conv_id, turn_idx)``.
 
@@ -65,8 +71,8 @@ def resolve_lww(
       JVM-side.
     """
     if strategy == "packed":
-        return _resolve_packed(events, n_salts)
-    payload = event_payload_cols(events)
+        return _resolve_packed(events, n_salts, key_cols)
+    payload = event_payload_cols(events, key_cols)
     # The candidate row travels inside the aggregate as one struct; max_by keeps
     # whole-stage codegen and partial aggregation (no window, no sort).
     candidate = F.struct(F.col("op"), *[F.col(c) for c in payload], F.col("ts"), F.col("seq"))
@@ -75,15 +81,15 @@ def resolve_lww(
 
     if n_salts and n_salts > 1:
         salt = F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts)).alias("_salt")
-        local = events.groupBy(*KEY_COLS, salt).agg(win)
+        local = events.groupBy(*key_cols, salt).agg(win)
         # Phase 2: re-aggregate the per-salt winners; stamp lives inside w.
         stamp2 = F.struct(F.col("w.ts"), F.col("w.seq"))
-        resolved = local.groupBy(*KEY_COLS).agg(F.max_by(F.col("w"), stamp2).alias("w"))
+        resolved = local.groupBy(*key_cols).agg(F.max_by(F.col("w"), stamp2).alias("w"))
     else:
-        resolved = events.groupBy(*KEY_COLS).agg(win)
+        resolved = events.groupBy(*key_cols).agg(win)
 
     return resolved.select(
-        *KEY_COLS,
+        *key_cols,
         F.col("w.op").alias("op"),
         *[F.col(f"w.{c}").alias(c) for c in payload],
         F.col("w.ts").alias("ts"),
@@ -91,7 +97,9 @@ def resolve_lww(
     )
 
 
-def _resolve_packed(events: DataFrame, n_salts: int | None) -> DataFrame:
+def _resolve_packed(
+    events: DataFrame, n_salts: int | None, key_cols: tuple[str, ...] = KEY_COLS
+) -> DataFrame:
     """Hash-aggregate LWW: pack (ts, seq, event) into one max()-able string.
 
     Big-endian fixed-width hex of non-negative ints sorts lexicographically in
@@ -100,21 +108,28 @@ def _resolve_packed(events: DataFrame, n_salts: int | None) -> DataFrame:
     """
     from pyspark.sql import types as T
 
-    payload = event_payload_cols(events)
+    payload = event_payload_cols(events, key_cols)
+    ts_type = events.schema["ts"].dataType
     body = F.to_json(F.struct(F.col("op"), *[F.col(c) for c in payload]))
     packed = F.concat(
-        F.lpad(F.hex(F.unix_micros(F.col("ts")) + F.lit(1 << 62)), 16, "0"),
+        # cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ; under the
+        # engine's pinned UTC session tz the cast is wall-clock-preserving.
+        F.lpad(
+            F.hex(F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(1 << 62)),
+            16,
+            "0",
+        ),
         F.lpad(F.hex(F.col("seq")), 16, "0"),
         body,
     ).alias("p")
 
-    src = events.select(*KEY_COLS, packed, F.col("seq"))
+    src = events.select(*key_cols, packed, F.col("seq"))
     if n_salts and n_salts > 1:
         salt = F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts)).alias("_salt")
-        local = src.groupBy(*KEY_COLS, salt).agg(F.max("p").alias("p"))
-        resolved = local.groupBy(*KEY_COLS).agg(F.max("p").alias("p"))
+        local = src.groupBy(*key_cols, salt).agg(F.max("p").alias("p"))
+        resolved = local.groupBy(*key_cols).agg(F.max("p").alias("p"))
     else:
-        resolved = src.groupBy(*KEY_COLS).agg(F.max("p").alias("p"))
+        resolved = src.groupBy(*key_cols).agg(F.max("p").alias("p"))
 
     body_schema = T.StructType(
         [T.StructField("op", T.StringType())]
@@ -122,14 +137,14 @@ def _resolve_packed(events: DataFrame, n_salts: int | None) -> DataFrame:
     )
     w = F.from_json(F.substring(F.col("p"), 33, 2_000_000_000), body_schema).alias("w")
     return resolved.select(
-        *KEY_COLS,
+        *key_cols,
         w,
         (F.conv(F.substring(F.col("p"), 1, 16), 16, 10).cast("long") - F.lit(1 << 62)).alias("_ts_us"),
         F.conv(F.substring(F.col("p"), 17, 16), 16, 10).cast("long").alias("seq"),
     ).select(
-        *KEY_COLS,
+        *key_cols,
         F.col("w.op").alias("op"),
         *[F.col(f"w.{c}").alias(c) for c in payload],
-        F.timestamp_micros(F.col("_ts_us")).alias("ts"),
+        F.timestamp_micros(F.col("_ts_us")).cast(ts_type).alias("ts"),
         F.col("seq"),
     )

@@ -1,0 +1,665 @@
+"""Driver-facing query registry: SURVEY.md §2 operator coverage, each entry a
+PySpark plan + value-identical DuckDB oracle SQL.
+
+Conventions that make the driver's order-insensitive value-hash pass:
+
+- every computed column is aliased identically in both faces;
+- computed integers are cast to BIGINT on the Spark side (DuckDB count/len/
+  row_number emit BIGINT);
+- money sums go through DECIMAL(18,2) so addition is exact and engine-order
+  independent; cosine/dot use the order-stable double fold
+  (functions/vectors.py); all other hashing is md5 (portable).
+
+Reference parity notes sit on each query; SURVEY.md §2 maps operators O1-O25.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from investigraph_etl_spark.cdc.resolve import resolve_lww
+from investigraph_etl_spark.functions import text as X
+from investigraph_etl_spark.operators import dedup as D
+from investigraph_etl_spark.operators import multimodal as M
+from investigraph_etl_spark.operators import similarity as S
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute sessionization gap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# =============================================================== CDC core ====
+# The engine's own semantics exercised on the driver's `events` table:
+# key = (conv_id, turn_idx) derived deterministically, op = delete on 'error'
+# events, LWW stamp = (ts, event_id).
+
+
+def _as_changes(events: DataFrame) -> DataFrame:
+    """events → change tail (op, conv_id, turn_idx, value, props, ts, seq)."""
+    return events.select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(X.hash32(F.col("event_type")), F.lit(100000))
+        .cast("int")
+        .alias("turn_idx"),
+        F.col("value"),
+        F.col("props"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+_CHANGES_SQL = f"""
+SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+       user_id::VARCHAR AS conv_id,
+       (({X.hash32_sql('event_type')}) % 100000)::INTEGER AS turn_idx,
+       value, props, ts, event_id AS seq
+FROM events
+"""
+
+_LWW_SQL = f"""
+WITH ev AS ({_CHANGES_SQL}),
+w AS (
+  SELECT * FROM ev
+  QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                             ORDER BY ts DESC, seq DESC) = 1
+)
+"""
+
+
+def q_cdc_lww_resolve(spark, sf_dir):
+    """O11/O12: LWW reduce (max_by hash-agg) — one winner per key.
+
+    Oracle uses a ranking window; the engine uses partial-agg ``max_by`` —
+    same semantics, cheaper plan (no sort of the full input).
+    """
+    ev = _as_changes(_t(spark, sf_dir, "events"))
+    return resolve_lww(ev)
+
+
+def q_cdc_lww_salted(spark, sf_dir):
+    """O10 + north-star skew handling: salted two-phase reduce, same answer."""
+    ev = _as_changes(_t(spark, sf_dir, "events"))
+    return resolve_lww(ev, n_salts=8)
+
+
+def q_cdc_lww_packed(spark, sf_dir):
+    """Packed-string LWW (pure HashAggregate physical alternative)."""
+    ev = _as_changes(_t(spark, sf_dir, "events"))
+    return resolve_lww(ev, strategy="packed")
+
+
+_CDC_LWW_ORACLE = (
+    _LWW_SQL + "SELECT conv_id, turn_idx, op, value, props, ts, seq FROM w"
+)
+
+
+def q_cdc_apply_epochs(spark, sf_dir):
+    """Flagship: full multi-epoch CDC apply through the LakeTable MERGE path.
+
+    The tail is split into 4 epochs and applied sequentially (normalize →
+    LWW resolve → copy-on-write MERGE with commit log + lineage metrics);
+    the final table state must equal the oracle's one-shot replay — the
+    partitioning-invariance property the reference pins with its
+    chunk_size tests (/root/reference/tests/test_pipeline.py:72-79).
+    """
+    from investigraph_etl_spark.cdc.apply import apply_events_batch
+    from investigraph_etl_spark.lake.table import LakeTable
+
+    ev = _as_changes(_t(spark, sf_dir, "events")).withColumn(
+        "epoch", F.pmod(F.col("seq"), F.lit(4))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"cdc-apply-{uuid.uuid4().hex[:8]}"
+    )
+    table = LakeTable.create(spark, root, schema, n_buckets=8)
+    for e in range(4):
+        apply_events_batch(
+            table,
+            ev.filter(F.col("epoch") == e).drop("epoch"),
+            app_id="driver-check",
+            epoch_id=e,
+        )
+    return table.read()
+
+
+_CDC_APPLY_ORACLE = (
+    _LWW_SQL
+    + "SELECT conv_id, turn_idx, value, props, ts FROM w WHERE op != 'delete'"
+)
+
+
+def q_cdc_dedup_commitlog(spark, sf_dir):
+    """O19/O20: commit-log dedup as a left_anti join — events whose epoch
+    token is already committed are skipped (reference analog: content-keyed
+    task cache, /root/reference/investigraph/pipeline.py:37-47)."""
+    ev = _t(spark, sf_dir, "events")
+    with_epoch = ev.select(
+        "event_id", F.pmod(F.col("event_id"), F.lit(10)).alias("epoch")
+    )
+    committed = spark.range(0, 10, 1).filter(
+        F.pmod(F.col("id"), F.lit(3)) == 0
+    ).select(F.col("id").alias("epoch"))
+    return (
+        with_epoch.join(F.broadcast(committed), "epoch", "left_anti")
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+    )
+
+
+_CDC_DEDUP_ORACLE = """
+WITH e AS (SELECT event_id, event_id % 10 AS epoch FROM events),
+committed AS (SELECT i AS epoch FROM generate_series(0, 9) t(i) WHERE i % 3 = 0)
+SELECT epoch, count(*) AS n_pending
+FROM e WHERE epoch NOT IN (SELECT epoch FROM committed)
+GROUP BY epoch
+"""
+
+
+# ========================================================= relational ops ====
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """O12/O13 hash agg (TPC-H Q1 shape): exact decimal sums, map-side
+    partial agg, one shuffle on the 4-value grouping key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # exact decimal product (scale 4), summed exactly, cast to double
+            # at the end — value*10^4 < 2^53, so the double is exact in both
+            # engines (no rounding-mode divergence).
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_AGG_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice::DECIMAL(18,2)) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_segment(spark, sf_dir):
+    """⊕ join coverage: broadcast the small dim (customer) against orders —
+    no shuffle of the fact side; Catalyst + AQE pick broadcast-hash."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_JOIN_REVENUE_ORACLE = """
+SELECT c_mktsegment,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """O21 top-N: global top-10 by totalprice, deterministic tie-break."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+_TOPK_ORDERS_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """Set-op coverage (O20 analog): customers with no orders, left_anti."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_join_parts(spark, sf_dir):
+    """Semi-join: parts that appear in at least one lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_brand")
+    )
+
+
+_SEMI_JOIN_ORACLE = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_union_tails(spark, sf_dir):
+    """Multi-source union (reference: sequential multi-source pipelines,
+    /root/reference/investigraph/model/context.py:101-105) →
+    unionByName + distinct."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    b = ev.filter(F.col("value") > 50).select("event_id", "user_id")
+    return a.unionByName(b).distinct()
+
+
+_UNION_TAILS_ORACLE = """
+SELECT event_id, user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT event_id, user_id FROM events WHERE value > 50
+"""
+
+
+def q_window_running_total(spark, sf_dir):
+    """⊕ window coverage: per-customer running order total (frame window)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        )
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       sum(o_totalprice::DECIMAL(18,2)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_total
+FROM orders
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (streaming session-window analog, batch form):
+    new session when > 30 min since the user's previous event."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ltz = F.col("ts").cast("timestamp")  # unix_micros rejects NTZ; UTC session tz
+    gap = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(order))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM x
+)
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_tumbling_hourly(spark, sf_dir):
+    """Tumbling event-time window (streaming-compatible shape, batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON fns (reference serializes records as JSON,
+    /root/reference/investigraph/pipeline.py:153-154): extract props.k."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_JSON_PROPS_ORACLE = """
+SELECT event_type,
+       sum((json_extract_string(props, '$.k')::INTEGER)::BIGINT)::BIGINT AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_keygen_sha(spark, sf_dir):
+    """O9 deterministic keying: sha256 over key columns (reference:
+    make_id sha1 keying, /root/reference/investigraph/util.py:29-42)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.sha2(F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment")), 256)
+        .alias("entity_id"),
+    )
+
+
+_KEYGEN_ORACLE = """
+SELECT c_custkey, sha256(c_name || '|' || c_mktsegment) AS entity_id
+FROM customer
+"""
+
+
+def q_project_split_explode(spark, sf_dir):
+    """O7/O8: split → explode (1 record → N) → count by token (the
+    flatMap-then-aggregate shape of the reference's multi-entity transform,
+    /root/reference/investigraph/logic/transform.py:27-29)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SPLIT_EXPLODE_ORACLE = f"""
+SELECT t.token, count(*) AS n
+FROM (SELECT unnest({X.tokens_sql('text')}) AS token FROM documents) t
+GROUP BY t.token
+"""
+
+
+def q_filter_declarative(spark, sf_dir):
+    """O6 declarative σ: filters + filters_not
+    (/root/reference/investigraph/model/mapping.py:34-35)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("lang") == "en") & ~(F.col("source") == "src0")
+    ).select("doc_id", "lang", "source")
+
+
+_FILTER_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE lang = 'en' AND NOT source = 'src0'
+"""
+
+
+def q_limit_preview(spark, sf_dir):
+    """O21 inspect/preview: deterministic first-N."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_LIMIT_ORACLE = "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 5"
+
+
+# ========================================================== text analysis ====
+
+
+def q_text_quality(spark, sf_dir):
+    qf = X.quality_features(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        qf["n_chars"].cast("long").alias("n_chars"),
+        qf["n_tokens"].cast("long").alias("n_tokens"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+        qf["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+_qfs = X.quality_features_sql("text")
+_TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       ({_qfs['n_chars']})::BIGINT AS n_chars,
+       ({_qfs['n_tokens']})::BIGINT AS n_tokens,
+       {_qfs['punct_ratio']} AS punct_ratio,
+       {_qfs['stopword_ratio']} AS stopword_ratio,
+       {_qfs['mean_token_len']} AS mean_token_len
+FROM documents
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", X.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+_TEXT_LANGID_ORACLE = (
+    f"SELECT doc_id, {X.lang_id_sql('text')} AS lang_pred FROM documents"
+)
+
+
+def q_text_tokens(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.n_tokens(F.col("text")).cast("long").alias("n_ws_tokens"),
+        X.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_TEXT_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       ({X.n_tokens_sql('text')})::BIGINT AS n_ws_tokens,
+       ({X.bpe_token_count_sql('text')})::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_TEXT_FP_ORACLE = (
+    f"SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM documents"
+)
+
+
+# ================================================================== dedup ====
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_neardup(
+        _t(spark, sf_dir, "documents"), shingle_k=2, threshold=0.35
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_neardup(_t(spark, sf_dir, "documents"), max_hamming=1)
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.2
+    )
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return S.embedding_neardup(_t(spark, sf_dir, "embeddings"))
+
+
+# ============================================================= similarity ====
+
+
+def q_ann_topk(spark, sf_dir):
+    out = S.cosine_topk(_t(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    return S.lsh_neighbors(_t(spark, sf_dir, "embeddings"))
+
+
+# ============================================================== multimodal ===
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    media = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.extract_media_metadata(media)
+
+
+# ================================================================ registry ===
+
+QUERIES = {
+    "cdc_apply_epochs": q_cdc_apply_epochs,
+    "cdc_lww_resolve": q_cdc_lww_resolve,
+    "cdc_lww_salted": q_cdc_lww_salted,
+    "cdc_lww_packed": q_cdc_lww_packed,
+    "cdc_dedup_commitlog": q_cdc_dedup_commitlog,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_revenue_by_segment": q_join_revenue_by_segment,
+    "topk_orders": q_topk_orders,
+    "anti_join_customers": q_anti_join_customers,
+    "semi_join_parts": q_semi_join_parts,
+    "union_tails": q_union_tails,
+    "window_running_total": q_window_running_total,
+    "sessionize_events": q_sessionize_events,
+    "tumbling_hourly": q_tumbling_hourly,
+    "json_props": q_json_props,
+    "keygen_sha": q_keygen_sha,
+    "project_split_explode": q_project_split_explode,
+    "filter_declarative": q_filter_declarative,
+    "limit_preview": q_limit_preview,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_metadata": q_multimodal_metadata,
+}
+
+ORACLES = {
+    "cdc_apply_epochs": _CDC_APPLY_ORACLE,
+    "cdc_lww_resolve": _CDC_LWW_ORACLE,
+    "cdc_lww_salted": _CDC_LWW_ORACLE,
+    "cdc_lww_packed": _CDC_LWW_ORACLE,
+    "cdc_dedup_commitlog": _CDC_DEDUP_ORACLE,
+    "agg_pricing_summary": _AGG_PRICING_ORACLE,
+    "join_revenue_by_segment": _JOIN_REVENUE_ORACLE,
+    "topk_orders": _TOPK_ORDERS_ORACLE,
+    "anti_join_customers": _ANTI_JOIN_ORACLE,
+    "semi_join_parts": _SEMI_JOIN_ORACLE,
+    "union_tails": _UNION_TAILS_ORACLE,
+    "window_running_total": _WINDOW_RUNNING_ORACLE,
+    "sessionize_events": _SESSIONIZE_ORACLE,
+    "tumbling_hourly": _TUMBLING_ORACLE,
+    "json_props": _JSON_PROPS_ORACLE,
+    "keygen_sha": _KEYGEN_ORACLE,
+    "project_split_explode": _SPLIT_EXPLODE_ORACLE,
+    "filter_declarative": _FILTER_ORACLE,
+    "limit_preview": _LIMIT_ORACLE,
+    "text_quality": _TEXT_QUALITY_ORACLE,
+    "text_langid": _TEXT_LANGID_ORACLE,
+    "text_tokens": _TEXT_TOKENS_ORACLE,
+    "text_fingerprint": _TEXT_FP_ORACLE,
+    "dedup_exact": D.exact_duplicates_sql(),
+    "dedup_minhash": D.minhash_neardup_sql(shingle_k=2, threshold=0.35),
+    "dedup_simhash": D.simhash_neardup_sql(max_hamming=1),
+    "dedup_ngram": D.ngram_jaccard_pairs_sql(shingle_k=3, threshold=0.2),
+    "dedup_embedding": S.embedding_neardup_sql(),
+    "ann_topk": S.cosine_topk_sql(),
+    "ann_lsh": S.lsh_neighbors_sql(),
+    "multimodal_metadata": M.media_metadata_sql(),
+}
