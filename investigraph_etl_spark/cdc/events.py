@@ -64,30 +64,32 @@ def _valid_predicate():
     return F.coalesce(cond, F.lit(False))
 
 
+def canonicalize_events(events: DataFrame) -> DataFrame:
+    """Canonicalize an event batch and tag each row with ``_valid``.
+
+    Pure Catalyst expressions — one codegen stage, no shuffle. Payload columns
+    (incl. additively-evolved ones) pass through untouched. Callers split on
+    ``_valid`` (quarantine semantics) or aggregate over it (one-pass metrics).
+    """
+    canon_types = {"op", "conv_id", "turn_idx", "ts", "seq"}
+    payload = [c for c in events.columns if c not in canon_types]
+    return events.select(
+        F.lower(F.col("op")).cast("string").alias("op"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("seq").cast("long").alias("seq"),
+        *[F.col(c) for c in payload],
+    ).withColumn("_valid", _valid_predicate())
+
+
 def normalize_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a raw event batch into (valid, quarantined) and canonicalize types.
 
     Pure Catalyst expressions — the whole check stays inside one codegen stage,
     no shuffle. Extra columns (schema evolution) pass through untouched.
     """
-    canon_types = {
-        "op": None,  # handled explicitly (lower + cast)
-        "conv_id": "string",
-        "turn_idx": "int",
-        "ts": "timestamp",
-        "seq": "long",
-    }
-    payload = [c for c in events.columns if c not in canon_types]
-    canon = events.select(
-        F.lower(F.col("op")).cast("string").alias("op"),
-        F.col("conv_id").cast("string").alias("conv_id"),
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.col("seq").cast("long").alias("seq"),
-        # Payload passes through untouched — the tail's payload shape (incl.
-        # additively-evolved columns) is the sink schema's concern, not ours.
-        *[F.col(c) for c in payload],
-    )
-    valid = canon.filter(_valid_predicate())
-    quarantined = canon.filter(~_valid_predicate())
+    canon = canonicalize_events(events)
+    valid = canon.filter(F.col("_valid")).drop("_valid")
+    quarantined = canon.filter(~F.col("_valid")).drop("_valid")
     return valid, quarantined

@@ -51,14 +51,24 @@ class GeneratorConfig:
     p_late: float = 0.10         # fraction with ts pulled far into the past
     n_epochs: int = 8            # how many micro-batch files the stream is split into
     evolve_from_epoch: int | None = None  # epoch index from which extra columns appear
+    text_words: int = 8          # words per turn text (~7 bytes/word; bench uses more)
 
 
 def _texts(rng: np.random.Generator, n: int, n_words: int = 8) -> np.ndarray:
-    idx = rng.integers(0, len(_WORDS), size=(n, n_words))
+    """Vectorized text synth: phrases from a pre-built pool + unique salt.
+
+    Pure numpy string kernels (no per-row Python) so 10^7-event tails are
+    cheap to generate for the bench/scaling runs.
+    """
+    pool_size = min(65536, max(1024, n // 16))
+    idx = rng.integers(0, len(_WORDS), size=(pool_size, n_words))
+    pool = np.array([" ".join(_WORDS[row]) for row in idx])
+    pick = rng.integers(0, pool_size, size=n)
     salt = rng.integers(0, 1_000_000, size=n)
-    return np.array(
-        [" ".join(_WORDS[row]) + f" #{s}" for row, s in zip(idx, salt)], dtype=object
+    out = np.char.add(
+        np.char.add(pool[pick], " #"), salt.astype("U7")
     )
+    return out.astype(object)
 
 
 def generate_events(cfg: GeneratorConfig = GeneratorConfig()) -> pd.DataFrame:
@@ -87,7 +97,7 @@ def generate_events(cfg: GeneratorConfig = GeneratorConfig()) -> pd.DataFrame:
 
     role = _ROLES[rng.integers(0, len(_ROLES), size=n)].astype(object)
     tool = _TOOLS[rng.integers(0, len(_TOOLS), size=n)]
-    text = _texts(rng, n)
+    text = _texts(rng, n, n_words=cfg.text_words)
 
     # Monotone-ish event time with jitter, then late-event corruption.
     base_us = np.cumsum(rng.integers(1, 2_000_000, size=n))
@@ -110,11 +120,17 @@ def generate_events(cfg: GeneratorConfig = GeneratorConfig()) -> pd.DataFrame:
         }
     )
 
-    # ts collisions: copy the previous event's ts when it targets the same key.
-    coll = (rng.random(n) < cfg.p_ts_collision) & (df["conv_id"].shift() == df["conv_id"]) & (
-        df["turn_idx"].shift() == df["turn_idx"]
+    # ts collisions: within each key (in seq order), a fraction of events
+    # reuse the key's previous event's ts — same key, same ts, different seq
+    # pins the seq tie-break. Computed on a key-sorted view so collisions
+    # exist whenever any key has >= 2 events.
+    s = df.sort_values(["conv_id", "turn_idx", "seq"], kind="stable")
+    same_key = (s["conv_id"].shift() == s["conv_id"]) & (
+        s["turn_idx"].shift() == s["turn_idx"]
     )
-    df.loc[coll, "ts"] = df["ts"].shift()[coll]
+    coll = same_key.to_numpy() & (rng.random(n) < cfg.p_ts_collision)
+    s.loc[coll, "ts"] = s["ts"].shift()[coll]
+    df = s.sort_index()
 
     # Deletes carry no payload.
     is_del = df["op"] == "delete"

@@ -44,6 +44,7 @@ def resolve_lww(
     n_salts: int | None = None,
     strategy: str = "max_by",
     key_cols: tuple[str, ...] = KEY_COLS,
+    with_count: bool = False,
 ) -> DataFrame:
     """Reduce an event batch to one winning event per ``(conv_id, turn_idx)``.
 
@@ -71,6 +72,8 @@ def resolve_lww(
       JVM-side.
     """
     if strategy == "packed":
+        if with_count:
+            raise ValueError("with_count is not supported by the packed strategy")
         return _resolve_packed(events, n_salts, key_cols)
     payload = event_payload_cols(events, key_cols)
     # The candidate row travels inside the aggregate as one struct; max_by keeps
@@ -78,15 +81,18 @@ def resolve_lww(
     candidate = F.struct(F.col("op"), *[F.col(c) for c in payload], F.col("ts"), F.col("seq"))
     stamp = F.struct(F.col("ts"), F.col("seq"))
     win = F.max_by(candidate, stamp).alias("w")
+    cnt = F.count(F.lit(1)).alias("_cnt")
 
     if n_salts and n_salts > 1:
         salt = F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts)).alias("_salt")
-        local = events.groupBy(*key_cols, salt).agg(win)
+        local = events.groupBy(*key_cols, salt).agg(win, cnt)
         # Phase 2: re-aggregate the per-salt winners; stamp lives inside w.
         stamp2 = F.struct(F.col("w.ts"), F.col("w.seq"))
-        resolved = local.groupBy(*key_cols).agg(F.max_by(F.col("w"), stamp2).alias("w"))
+        resolved = local.groupBy(*key_cols).agg(
+            F.max_by(F.col("w"), stamp2).alias("w"), F.sum("_cnt").alias("_cnt")
+        )
     else:
-        resolved = events.groupBy(*key_cols).agg(win)
+        resolved = events.groupBy(*key_cols).agg(win, cnt)
 
     return resolved.select(
         *key_cols,
@@ -94,6 +100,9 @@ def resolve_lww(
         *[F.col(f"w.{c}").alias(c) for c in payload],
         F.col("w.ts").alias("ts"),
         F.col("w.seq").alias("seq"),
+        # events folded into this winner — per-bucket lineage derives from it
+        # for free instead of a second full-batch aggregation.
+        *([F.col("_cnt")] if with_count else []),
     )
 
 

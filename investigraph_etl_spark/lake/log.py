@@ -36,6 +36,7 @@ class Commit:
     schema: dict | None = None  # Spark StructType jsonValue
     n_buckets: int | None = None
     key_cols: list[str] | None = None
+    mode: str | None = None  # "cow" | "mor" (set on the create commit)
     app_id: str | None = None
     epoch_id: int | None = None
     metrics: dict[str, Any] = field(default_factory=dict)
@@ -49,6 +50,7 @@ class Commit:
             "schema": self.schema,
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
+            "mode": self.mode,
             "app_id": self.app_id,
             "epoch_id": self.epoch_id,
             "metrics": self.metrics,
@@ -65,6 +67,7 @@ class TableState:
     key_cols: list[str]
     committed_epochs: set[tuple[str | None, int]]  # (app_id, epoch_id)
     commits: list[Commit]          # commits replayed after the checkpoint
+    mode: str = "cow"              # "cow" | "mor"
 
 
 class CommitLog:
@@ -113,6 +116,7 @@ class CommitLog:
         schema = None
         n_buckets = 0
         key_cols: list[str] = []
+        mode = "cow"
         epochs: set[tuple[str | None, int]] = set()
         commits: list[Commit] = []
 
@@ -126,6 +130,7 @@ class CommitLog:
             n_buckets = cp["n_buckets"]
             key_cols = cp["key_cols"]
             epochs = {(a, e) for a, e in cp["committed_epochs"]}
+            mode = cp.get("mode", "cow")
             start = cp["version"]
 
         for v in versions:
@@ -141,6 +146,8 @@ class CommitLog:
                 n_buckets = c["n_buckets"]
             if c.get("key_cols"):
                 key_cols = c["key_cols"]
+            if c.get("mode"):
+                mode = c["mode"]
             if c.get("epoch_id") is not None:
                 epochs.add((c.get("app_id"), c["epoch_id"]))
             commits.append(Commit(**{k: c.get(k) for k in Commit.__dataclass_fields__}))
@@ -153,6 +160,7 @@ class CommitLog:
             key_cols=key_cols,
             committed_epochs=epochs,
             commits=commits,
+            mode=mode,
         )
 
     def latest_version(self) -> int:
@@ -187,6 +195,7 @@ class CommitLog:
             "schema": state.schema,
             "n_buckets": state.n_buckets,
             "key_cols": state.key_cols,
+            "mode": state.mode,
             "committed_epochs": sorted(
                 [list(t) for t in state.committed_epochs], key=lambda t: (str(t[0]), t[1])
             ),

@@ -79,8 +79,24 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int = 16,
         key_cols: tuple[str, ...] = KEY_COLS,
+        mode: str = "cow",
     ) -> "LakeTable":
-        """Create an empty table (commit 1 = schema + layout, no files)."""
+        """Create an empty table (commit 1 = schema + layout + mode, no files).
+
+        ``mode``:
+
+        - ``"cow"`` (copy-on-write): MERGE rewrites every touched bucket —
+          reads pay nothing, writes pay O(touched table data). Right when
+          batches touch few buckets or reads dominate.
+        - ``"mor"`` (merge-on-read): MERGE appends the resolved batch as a new
+          file generation — writes pay O(batch) regardless of table size;
+          reads LWW-reduce across generations; background compaction
+          (automatic past ``compact_threshold`` generations per bucket) bounds
+          read amplification. Right for high-rate ingest — the 10^10-event
+          CDC tail — exactly like Iceberg v2 MOR + equality deletes.
+        """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown table mode: {mode!r}")
         t = cls(spark, root)
         if t.log.exists():
             raise FileExistsError(f"table already exists at {root}")
@@ -99,6 +115,7 @@ class LakeTable:
                 schema=physical.jsonValue(),
                 n_buckets=n_buckets,
                 key_cols=list(key_cols),
+                mode=mode,
             )
         )
         return t
@@ -153,11 +170,32 @@ class LakeTable:
             )
         return df if with_bucket else df.drop(_BUCKET_COL)
 
+    def _reduce_physical(self, df: DataFrame, physical: T.StructType) -> DataFrame:
+        """LWW-reduce physical rows to one winner per key by (_ts, _seq).
+
+        The merge-on-read kernel: same max_by partial-agg shape as
+        cdc/resolve.py, over the stored stamp columns.
+        """
+        rest = [f.name for f in physical.fields if f.name not in KEY_COLS]
+        cand = F.struct(*[F.col(c) for c in rest])
+        stamp = F.struct(F.col("_ts"), F.col("_seq"))
+        reduced = df.groupBy(*KEY_COLS).agg(F.max_by(cand, stamp).alias("w"))
+        return reduced.select(
+            *KEY_COLS, *[F.col(f"w.{c}").alias(c) for c in rest]
+        )
+
     def read(self, at_version: int | None = None) -> DataFrame:
-        """Live rows, public schema (tombstones and hidden columns stripped)."""
+        """Live rows, public schema (tombstones and hidden columns stripped).
+
+        COW tables hold one version per key on disk — plain scan. MOR tables
+        LWW-reduce across file generations first (one hash-agg keyed on the
+        table key; partition pruning/bucketing still applies upstream).
+        """
         st = self._state(at_version)
         schema = T.StructType.fromJson(st.schema)
         df = self._read_files(st.live_files, schema)
+        if st.mode == "mor":
+            df = self._reduce_physical(df, schema)
         public = [f.name for f in schema.fields if f.name not in HIDDEN_COLS]
         return df.filter(~F.col("_deleted")).select(*public)
 
@@ -195,11 +233,26 @@ class LakeTable:
                 visible.append(T.StructField(name, dtype, True))
         return T.StructType(visible + hidden)
 
-    def _write_data(self, df: DataFrame, n_buckets: int) -> list[str]:
-        """Write df (must contain the bucket col) into data/, return new rel paths."""
+    def _write_data(
+        self, df: DataFrame, n_buckets: int, n_touched: int | None = None
+    ) -> list[str]:
+        """Write df (must contain the bucket col) into data/, return new rel paths.
+
+        The frame is hash-repartitioned on the bucket column first so each
+        bucket lands in ~one task → O(touched buckets) files per commit
+        instead of O(tasks × buckets). (At petabyte scale a deployment raises
+        files-per-bucket by adding a sub-bucket split key here to hold the
+        ~128 MB file target; the commit log is layout-agnostic.)
+        """
         token = uuid.uuid4().hex[:12]
         staging = os.path.join(self.root, "_staging", token)
-        df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(staging)
+        parts = max(1, n_touched if n_touched is not None else n_buckets)
+        (
+            df.repartition(parts, F.col(_BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(staging)
+        )
         added: list[str] = []
         for bucket_dir in sorted(os.listdir(staging)):
             if not bucket_dir.startswith(f"{_BUCKET_COL}="):
@@ -224,13 +277,16 @@ class LakeTable:
         app_id: str | None = None,
         epoch_id: int | None = None,
         extra_metrics: dict[str, Any] | None = None,
+        touched: list[int] | None = None,
     ) -> dict[str, Any]:
         """MERGE one LWW-resolved batch (one row per key, cols: key, op,
         payload..., ts, seq) into the table. Returns commit metrics.
 
         Exactly-once: if (app_id, epoch_id) was already committed the call is a
         recorded no-op. Copy-on-write: only buckets present in the batch are
-        read and rewritten.
+        read and rewritten. ``touched`` (bucket ids present in the batch) can
+        be supplied by callers that already computed it (apply's one-pass
+        metrics) to skip the extra distinct job.
         """
         st = self._state()
         if epoch_id is not None and (app_id, epoch_id) in st.committed_epochs:
@@ -246,20 +302,9 @@ class LakeTable:
         payload_names = [f.name for f in physical.fields if f.name not in {*KEY_COLS, "ts", *HIDDEN_COLS}]
 
         batch = resolved.withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
-        touched = [r[0] for r in batch.select(_BUCKET_COL).distinct().collect()]
+        if touched is None:
+            touched = [r[0] for r in batch.select(_BUCKET_COL).distinct().collect()]
 
-        # Existing rows of touched buckets → pseudo-events with their stored stamp.
-        existing = self.read_physical(buckets=touched)
-        existing_ev = existing.select(
-            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
-            *KEY_COLS,
-            *[
-                (F.col(c) if c in existing.columns else F.lit(None).cast(physical[c].dataType)).alias(c)
-                for c in payload_names
-            ],
-            F.col("_ts").alias("ts"),
-            F.col("_seq").alias("seq"),
-        )
         # Enforce the physical schema on every batch column (callers may hand
         # pandas-inferred wider types, e.g. int64 turn_idx).
         batch_ev = batch.select(
@@ -277,26 +322,34 @@ class LakeTable:
             F.col("seq").cast("long").alias("seq"),
         )
 
-        from investigraph_etl_spark.cdc.resolve import resolve_lww
+        if st.mode == "mor":
+            # Merge-on-read: append the resolved batch as a new generation —
+            # write cost O(batch), independent of table size. Cross-epoch
+            # conflicts resolve at read/compaction time by the same stamps.
+            out = self._events_to_physical(batch_ev, payload_names, st.n_buckets)
+            added = self._write_data(out, st.n_buckets, n_touched=len(touched))
+            removed: list[str] = []
+        else:
+            # Copy-on-write: old rows of touched buckets become pseudo-events
+            # and re-reduce with the batch; touched buckets are rewritten.
+            existing = self.read_physical(buckets=touched)
+            existing_ev = existing.select(
+                F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+                *KEY_COLS,
+                *[
+                    (F.col(c) if c in existing.columns else F.lit(None).cast(physical[c].dataType)).alias(c)
+                    for c in payload_names
+                ],
+                F.col("_ts").alias("ts"),
+                F.col("_seq").alias("seq"),
+            )
+            from investigraph_etl_spark.cdc.resolve import resolve_lww
 
-        merged = resolve_lww(existing_ev.unionByName(batch_ev))
-        out = merged.select(
-            *KEY_COLS,
-            *payload_names,
-            # Public ts = winning writer's ts (input_hint column); hidden stamp
-            # columns keep cross-epoch LWW exact.
-            F.col("ts"),
-            F.col("ts").alias("_ts"),
-            F.col("seq").alias("_seq"),
-            (F.col("op") == F.lit("delete")).alias("_deleted"),
-        ).withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
-        # Deletes blank their payload (tombstone carries only key + stamp).
-        for c in payload_names:
-            out = out.withColumn(c, F.when(F.col("_deleted"), F.lit(None)).otherwise(F.col(c)))
-
-        added = self._write_data(out, st.n_buckets)
-        removed_set = {f"{_BUCKET_COL}={b}" for b in touched}
-        removed = [f for f in st.live_files if f.split("/")[0] in removed_set]
+            merged = resolve_lww(existing_ev.unionByName(batch_ev))
+            out = self._events_to_physical(merged, payload_names, st.n_buckets)
+            added = self._write_data(out, st.n_buckets, n_touched=len(touched))
+            removed_set = {f"{_BUCKET_COL}={b}" for b in touched}
+            removed = [f for f in st.live_files if f.split("/")[0] in removed_set]
 
         metrics = {"buckets_touched": len(touched), **(extra_metrics or {})}
         self.log.commit(
@@ -310,7 +363,84 @@ class LakeTable:
                 metrics=metrics,
             )
         )
+        if st.mode == "mor":
+            self._maybe_compact(touched)
         return {"skipped": False, "version": st.version + 1, **metrics}
+
+    def _events_to_physical(
+        self, events: DataFrame, payload_names: list[str], n_buckets: int
+    ) -> DataFrame:
+        """(op, key, payload, ts, seq) rows → physical table rows + bucket.
+
+        Public ts = winning writer's ts (input_hint column); hidden stamp
+        columns keep cross-epoch LWW exact; deletes become tombstones with
+        blanked payload (so a stale update can never resurrect a turn).
+        """
+        out = events.select(
+            *KEY_COLS,
+            *payload_names,
+            F.col("ts"),
+            F.col("ts").alias("_ts"),
+            F.col("seq").alias("_seq"),
+            (F.col("op") == F.lit("delete")).alias("_deleted"),
+        ).withColumn(_BUCKET_COL, _bucket_expr(n_buckets))
+        for c in payload_names:
+            out = out.withColumn(
+                c, F.when(F.col("_deleted"), F.lit(None)).otherwise(F.col(c))
+            )
+        return out
+
+    # ------------------------------------------------------------- compaction
+    #: MOR generations per bucket tolerated before auto-compaction.
+    compact_threshold: int = 8
+
+    def _files_per_bucket(self, live_files: list[str]) -> dict[int, int]:
+        counts: dict[int, int] = {}
+        for f in live_files:
+            head = f.split("/")[0]
+            if head.startswith(f"{_BUCKET_COL}="):
+                b = int(head.split("=")[1])
+                counts[b] = counts.get(b, 0) + 1
+        return counts
+
+    def _maybe_compact(self, candidate_buckets: list[int]) -> None:
+        counts = self._files_per_bucket(self._state().live_files)
+        need = [b for b in candidate_buckets if counts.get(b, 0) > self.compact_threshold]
+        if need:
+            self.compact(buckets=need)
+
+    def compact(self, buckets: list[int] | None = None) -> dict[str, Any]:
+        """Rewrite MOR generations of the given buckets (default: all buckets
+        holding more than one file) into a single LWW-reduced generation.
+
+        Keeps tombstones (a stale update must still lose after compaction);
+        ``vacuum`` reclaims the superseded files. Crash-safe: compaction is a
+        pure optimization commit — losing it costs read amplification, never
+        correctness.
+        """
+        st = self._state()
+        counts = self._files_per_bucket(st.live_files)
+        if buckets is None:
+            buckets = [b for b, n in counts.items() if n > 1]
+        want = {f"{_BUCKET_COL}={b}" for b in buckets}
+        files = [f for f in st.live_files if f.split("/")[0] in want]
+        if not files:
+            return {"compacted_buckets": 0, "files_removed": 0}
+        physical = T.StructType.fromJson(st.schema)
+        df = self._read_files(files, physical)
+        reduced = self._reduce_physical(df, physical).withColumn(
+            _BUCKET_COL, _bucket_expr(st.n_buckets)
+        )
+        added = self._write_data(reduced, st.n_buckets, n_touched=len(buckets))
+        self.log.commit(
+            Commit(
+                version=st.version + 1,
+                added=added,
+                removed=files,
+                metrics={"compaction": True, "buckets": len(buckets)},
+            )
+        )
+        return {"compacted_buckets": len(buckets), "files_removed": len(files)}
 
     def append(self, df: DataFrame, metrics: dict[str, Any] | None = None) -> dict[str, Any]:
         """Blind append (initial bulk load path): rows must match public schema;

@@ -70,7 +70,10 @@ def test_e2e_quarantine_and_metrics(spark, tmp_path):
     m = read_metrics(table).toPandas()
     assert m["events_applied"].sum() == len(ev)
     assert (m["conflicts_resolved"] >= 0).all()
-    assert m["watermark_pos"].notna().all()
+    # applied buckets carry a watermark; the bucket=-1 quarantine lineage
+    # row legitimately has none
+    assert m.loc[m["events_applied"] > 0, "watermark_pos"].notna().all()
+    assert m["events_quarantined"].sum() == 20
     # final state matches oracle despite the junk rows
     want = replay_oracle(ev.drop(columns=["epoch"]))[PAYLOAD].reset_index(drop=True)
     pd.testing.assert_frame_equal(_final(table), want, check_dtype=False)
