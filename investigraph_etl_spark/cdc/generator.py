@@ -62,13 +62,15 @@ def _texts(rng: np.random.Generator, n: int, n_words: int = 8) -> np.ndarray:
     """
     pool_size = min(65536, max(1024, n // 16))
     idx = rng.integers(0, len(_WORDS), size=(pool_size, n_words))
-    pool = np.array([" ".join(_WORDS[row]) for row in idx])
+    # object dtype: the salt append below moves string REFERENCES, not the
+    # fixed-width U-array copies np.char.add would do (11 GB/op at 1.4 KB texts)
+    pool = np.array([" ".join(_WORDS[row]) + " #" for row in idx], dtype=object)
     pick = rng.integers(0, pool_size, size=n)
     salt = rng.integers(0, 1_000_000, size=n)
-    out = np.char.add(
-        np.char.add(pool[pick], " #"), salt.astype("U7")
+    picked = pool[pick]
+    return np.array(
+        [t + s for t, s in zip(picked, salt.astype(str))], dtype=object
     )
-    return out.astype(object)
 
 
 def generate_events(cfg: GeneratorConfig = GeneratorConfig()) -> pd.DataFrame:

@@ -1,0 +1,103 @@
+"""CLI: the reference's ``investigraph run|extract|inspect`` surface
+(/root/reference/investigraph/cli.py:37-153) re-expressed over the Spark
+engine, plus engine-native commands (ingest/compact/history).
+
+Usage (``python -m investigraph_etl_spark.cli <cmd> ...``)::
+
+    run      -c config.yml            # declarative pipeline → sink (O15/O16)
+    extract  -c config.yml            # raw records → JSONL, no transform (O22)
+    inspect  -c config.yml [-n 10]    # bounded preview of the compiled plan (O21)
+    ingest   --events DIR --table DIR --checkpoint DIR [--follow]
+                                      # the CDC tail → lake MERGE pipeline
+    compact  --table DIR              # MOR generation compaction
+    history  --table DIR              # commit lineage (_commits view)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(cpus: str | None):
+    from investigraph_etl_spark.session import get_spark
+
+    return get_spark(
+        app_name="investigraph-etl-spark-cli",
+        master=f"local[{cpus}]" if cpus else None,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="investigraph-etl-spark")
+    p.add_argument("--cpus", default=None, help="local[N] cores (default: spark-submit's master)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("run", "extract", "inspect"):
+        sp = sub.add_parser(name)
+        sp.add_argument("-c", "--config", required=True)
+        if name == "inspect":
+            sp.add_argument("-n", "--limit", type=int, default=10)
+
+    sp = sub.add_parser("ingest")
+    sp.add_argument("--events", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--follow", action="store_true", help="tail continuously instead of drain-once")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--salts", type=int, default=None)
+
+    for name in ("compact", "history", "vacuum"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+    spark = _spark(args.cpus)
+
+    if args.cmd in ("run", "extract", "inspect"):
+        from investigraph_etl_spark.config import PipelineConfig, inspect, run_pipeline
+
+        cfg = PipelineConfig.from_yaml(args.config)
+        if args.cmd == "run":
+            print(json.dumps(run_pipeline(spark, cfg)))
+        elif args.cmd == "extract":
+            print(json.dumps(run_pipeline(spark, cfg, extract_only=True)))
+        else:
+            inspect(spark, cfg, limit=args.limit).show(truncate=False)
+        return 0
+
+    from investigraph_etl_spark.lake.table import LakeTable
+
+    if args.cmd == "ingest":
+        from investigraph_etl_spark.streaming.ingest import IngestPipeline
+
+        pipe = IngestPipeline(
+            spark,
+            events_dir=args.events,
+            table_root=args.table,
+            checkpoint_dir=args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_salts=args.salts,
+        )
+        if args.follow:
+            q = pipe.start_tail()
+            q.awaitTermination()
+        else:
+            for r in pipe.run_available_now():
+                print(json.dumps(r, default=str))
+        return 0
+
+    table = LakeTable.load(spark, args.table)
+    if args.cmd == "compact":
+        print(json.dumps(table.compact()))
+    elif args.cmd == "vacuum":
+        print(json.dumps({"files_removed": table.vacuum()}))
+    else:
+        for c in table.history():
+            print(json.dumps(c, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -488,3 +488,38 @@ class LakeTable:
         """Commit lineage (the `_commits` sidecar view)."""
         st = self._state()
         return [c.to_json() for c in st.commits]
+
+    def export_metadata(self) -> dict[str, Any]:
+        """Write ``index.json`` at the table root: schema + layout + stats.
+
+        Reference parity: dataset metadata/coverage export
+        (/root/reference/investigraph/model/context.py:59-63,
+        /root/reference/investigraph/pipeline.py:177-187). Stats come from the
+        commit log (no table scan): live files, committed epochs, cumulative
+        events applied/quarantined/conflicts from commit metrics.
+        """
+        import json
+
+        st = self._state()
+        totals: dict[str, int] = {}
+        for c in st.commits:
+            for k in ("events_applied", "events_quarantined", "conflicts_resolved"):
+                if k in (c.metrics or {}):
+                    totals[k] = totals.get(k, 0) + int(c.metrics[k])
+        meta = {
+            "name": os.path.basename(self.root.rstrip("/")),
+            "version": st.version,
+            "mode": st.mode,
+            "n_buckets": st.n_buckets,
+            "key_cols": st.key_cols,
+            "schema": [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in self.schema().fields
+            ],
+            "live_files": len(st.live_files),
+            "committed_epochs": len(st.committed_epochs),
+            "stats": totals,
+        }
+        with open(os.path.join(self.root, "index.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return meta

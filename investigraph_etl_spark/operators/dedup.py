@@ -306,15 +306,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 2,
     threshold: float = 0.35,
+    max_df: int | None = 50,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share at least one
-    shingle (inverted-index join on the shingle — the scalable alternative to
-    a cross join; shuffle is keyed by shingle, skew-handled by AQE).
+    *indexable* shingle (inverted-index join on the shingle — the scalable
+    alternative to a cross join; shuffle is keyed by shingle, skew-handled by
+    AQE).
+
+    ``max_df``: shingles occurring in more than this many documents are
+    dropped from the INDEX (not from the verify sets) — standard stop-shingle
+    pruning. A shingle shared by d documents generates O(d²) candidates, so
+    without the cap a common shingle turns the index join into a cross join.
+    Recall is lost only for pairs whose every shared shingle is ultra-common.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sets = _token_sets(docs, text_col, shingle_k)
     inv = sets.select("doc_id", "sh", F.explode("sh").alias("g"))
+    if max_df is not None:
+        rare = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        inv = inv.join(rare, "g")
     a, b = inv.alias("a"), inv.alias("b")
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -339,11 +355,18 @@ def ngram_jaccard_pairs_sql(
     text_col: str = "text",
     shingle_k: int = 2,
     threshold: float = 0.35,
+    max_df: int | None = 50,
 ) -> str:
     sets = _token_sets_sql(table, text_col, shingle_k)
+    df_filter = (
+        f"WHERE g IN (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= {max_df})"
+        if max_df is not None
+        else ""
+    )
     return f"""
 WITH sets AS ({sets}),
-inv AS (SELECT doc_id, sh, unnest(sh) AS g FROM sets),
+inv0 AS (SELECT doc_id, sh, unnest(sh) AS g FROM sets),
+inv AS (SELECT * FROM inv0 {df_filter}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id

@@ -594,6 +594,79 @@ def q_multimodal_metadata(spark, sf_dir):
     return M.extract_media_metadata(media)
 
 
+
+
+def q_pivot_user_event_counts(spark, sf_dir):
+    """Pivot (wide aggregation): per-user counts by event_type as columns.
+    Expressed as CASE-sums (portable, identical in both engines; Spark's
+    .pivot() compiles to the same shape)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in types
+        ]
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup
+FROM events GROUP BY user_id
+"""
+
+
+def q_asof_last_click(spark, sf_dir):
+    """As-of join (absent in both the reference and core Spark — SURVEY
+    §2.2): for each purchase event, the same user's most recent click at or
+    before it. Expressed as the union + carry-forward window (the canonical
+    Spark formulation; DuckDB mirrors the identical window, so values match
+    bit-for-bit instead of relying on engine-specific ASOF JOIN syntax)."""
+    ev = _t(spark, sf_dir, "events")
+    marked = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = marked.withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+_ASOF_ORACLE = """
+WITH marked AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT *, last_value(click_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM marked
+)
+SELECT event_id, user_id, ts, last_click_ts
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
 # ================================================================ registry ===
 
 QUERIES = {
@@ -628,6 +701,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "multimodal_metadata": q_multimodal_metadata,
+    "pivot_user_event_counts": q_pivot_user_event_counts,
+    "asof_last_click": q_asof_last_click,
 }
 
 ORACLES = {
@@ -662,4 +737,6 @@ ORACLES = {
     "ann_topk": S.cosine_topk_sql(),
     "ann_lsh": S.lsh_neighbors_sql(),
     "multimodal_metadata": M.media_metadata_sql(),
+    "pivot_user_event_counts": _PIVOT_ORACLE,
+    "asof_last_click": _ASOF_ORACLE,
 }

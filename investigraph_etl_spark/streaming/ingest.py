@@ -50,6 +50,14 @@ class IngestPipeline:
     event_schema: T.StructType = field(default_factory=lambda: CHANGE_EVENT_SCHEMA)
     max_files_per_trigger: int | None = None
     n_salts: int | None = None
+    #: e.g. "1 hour": drop re-delivered events (same binlog ``seq``) inside the
+    #: watermark window BEFORE the sink, using Spark's bounded dedup state
+    #: (``dropDuplicatesWithinWatermark``). Optional: exactly-once holds
+    #: without it (commit-log dedup + idempotent LWW MERGE); this just saves
+    #: sink work when the source is noisily at-least-once. Late events are
+    #: still APPLIED (only duplicate seqs are dropped) — LWW is
+    #: order-insensitive, so correctness never depends on the watermark.
+    dedup_within_watermark: str | None = None
     results: list[dict[str, Any]] = field(default_factory=list)
 
     def _reader(self):
@@ -62,7 +70,12 @@ class IngestPipeline:
         )
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        return reader.load(self.events_dir)
+        stream = reader.load(self.events_dir)
+        if self.dedup_within_watermark:
+            stream = stream.withWatermark(
+                "ts", self.dedup_within_watermark
+            ).dropDuplicatesWithinWatermark(["seq"])
+        return stream
 
     @property
     def commit_token(self) -> str:

@@ -122,7 +122,9 @@ def test_minhash_recall_against_bruteforce(spark, docs):
     a decent share of the very-similar ones (banding recall)."""
     truth = {
         (r.id_a, r.id_b)
-        for r in D.ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.6).collect()
+        for r in D.ngram_jaccard_pairs(
+            docs, shingle_k=2, threshold=0.6, max_df=None
+        ).collect()
     }
     lsh = {
         (r.id_a, r.id_b)
