@@ -136,9 +136,10 @@ def minhash_neardup(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
-        "doc_id", "sh", F.posexplode(band_arr).alias("band", "bh")
-    )
+    # Candidate pairs carry ONLY (id_a, id_b) through the join + dedup — the
+    # shingle sets rejoin afterwards, so the candidate shuffle moves two longs
+    # per row instead of two token arrays.
+    banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -147,20 +148,23 @@ def minhash_neardup(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_jaccard(cand, sig.select("doc_id", "sh"), threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of (id_a, id_b) candidates against token sets."""
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
-        cand.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return verified.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -323,6 +327,7 @@ def ngram_jaccard_pairs(
     """
     sets = _token_sets(docs, text_col, shingle_k)
     inv = sets.select("doc_id", "sh", F.explode("sh").alias("g"))
+    inv = inv.select("doc_id", "g")  # index rows: two scalars, no arrays
     if max_df is not None:
         rare = (
             inv.groupBy("g")
@@ -334,20 +339,10 @@ def ngram_jaccard_pairs(
     a, b = inv.alias("a"), inv.alias("b")
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    return _verify_jaccard(cand, sets, threshold)
 
 
 def ngram_jaccard_pairs_sql(

@@ -566,7 +566,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_ngram(spark, sf_dir):
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.2, max_df=20
     )
 
 
@@ -732,7 +732,7 @@ ORACLES = {
     "dedup_exact": D.exact_duplicates_sql(),
     "dedup_minhash": D.minhash_neardup_sql(shingle_k=2, threshold=0.35),
     "dedup_simhash": D.simhash_neardup_sql(max_hamming=1),
-    "dedup_ngram": D.ngram_jaccard_pairs_sql(shingle_k=3, threshold=0.2),
+    "dedup_ngram": D.ngram_jaccard_pairs_sql(shingle_k=3, threshold=0.2, max_df=20),
     "dedup_embedding": S.embedding_neardup_sql(),
     "ann_topk": S.cosine_topk_sql(),
     "ann_lsh": S.lsh_neighbors_sql(),

@@ -130,3 +130,36 @@ def test_mor_exactly_once_reapply(spark, tail, tmp_path):
     assert res["skipped"]
     assert table.version == version
     pd.testing.assert_frame_equal(_final(table), before, check_dtype=False)
+
+
+def test_mor_schema_evolution_mid_stream(spark, tmp_path):
+    """Additive columns appear mid-stream in MOR mode: old generations read
+    as null for the new columns; final state matches the oracle."""
+    ev = generate_events(
+        GeneratorConfig(n_events=3000, seed=37, n_epochs=6, evolve_from_epoch=3)
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, n_buckets=4, mode="mor"
+    )
+    for epoch, part in ev.groupby("epoch", sort=True):
+        body = part.drop(columns=["epoch"])
+        if epoch < 3:
+            body = body.drop(columns=["tool_version", "tokens"])
+        apply_events_batch(
+            table, spark.createDataFrame(body), app_id="sev", epoch_id=int(epoch)
+        )
+    cols = [f.name for f in table.schema().fields]
+    assert cols[-2:] == ["tool_version", "tokens"]
+    table.compact()  # evolution must survive compaction too
+    got = (
+        table.read().toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    )
+    want = replay_oracle(ev.drop(columns=["epoch"]))
+    pd.testing.assert_frame_equal(
+        got[PAYLOAD], want[PAYLOAD].reset_index(drop=True), check_dtype=False
+    )
+    evolved = want[want["tool_version"].notna()]
+    got_idx = got.set_index(["conv_id", "turn_idx"])
+    for _, r in evolved.head(50).iterrows():
+        assert got_idx.loc[(r["conv_id"], r["turn_idx"]), "tool_version"] == r["tool_version"]
