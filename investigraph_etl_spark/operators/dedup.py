@@ -212,19 +212,24 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Computed as array lambdas over the token set — narrow, no explode/shuffle.
     """
     toks = F.array_distinct(X.tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: X.hash32(t))
+    # Materialize the per-token hash array ONCE in its own projection — the 32
+    # bit-vote aggregates below each reference it, and without the explicit
+    # stage boundary Catalyst may expand (and md5 may run) 32x per token.
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: X.hash32(t)).alias("hs")
+    )
 
     def bit_vote(j: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    votes = [F.aggregate(hashes, F.lit(0), bit_vote(j)) for j in range(32)]
+    votes = [F.aggregate(F.col("hs"), F.lit(0), bit_vote(j)) for j in range(32)]
     sim = None
     for j, v in enumerate(votes):
         term = F.when(v > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
         sim = term if sim is None else sim + term
-    return docs.select("doc_id", sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash32_sql(table: str = "documents", text_col: str = "text") -> str:
