@@ -143,7 +143,6 @@ def test_run_pipeline_parquet_sink(spark, cfg, tmp_path):
 
 
 def test_config_override_merge(authorities_csv):
-    cfg = PipelineConfig.from_yaml.__self__  # noqa: B018 — presence check
     c = PipelineConfig.from_dict(
         {"name": "x", "source": {"format": "csv", "path": authorities_csv}},
         overrides={"source": {"options": {"sep": ","}}},
