@@ -364,9 +364,9 @@ WITH x AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS session_id
   FROM x
 )
 SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start

@@ -1,6 +1,8 @@
 """Drive the __spark_entry__ contract exactly as the driver does: every
 ``queries()`` entry runs at sf0.001 and matches its ``oracle_sql()`` twin in
-DuckDB on row count, column names, and sorted values."""
+DuckDB on row count, column names, sorted values, AND Arrow-level column
+types (the driver's value hash is type-sensitive: a DuckDB HUGEINT column
+hashes differently from Spark BIGINT even when Python values compare equal)."""
 
 from __future__ import annotations
 
@@ -41,6 +43,25 @@ def test_every_query_has_oracle():
     assert set(o) == set(q)
 
 
+def _canon_type(t) -> str:
+    """Normalize an Arrow type the way the driver's hash effectively does:
+    integer widths <=64 hash identically (pandas upcast), timestamps lose tz,
+    but int128/HUGEINT (decimal128(38,0)) does NOT collapse to int."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    return str(t)
+
+
 @pytest.mark.parametrize("name", sorted(queries()))
 def test_query_matches_oracle(spark, duck, name):
     sdf = queries()[name](spark, SF_DIR)
@@ -48,5 +69,8 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.sql(oracle_sql()[name])
     want = sorted(tuple(r) for r in res.fetchall())
     assert [c.lower() for c in sdf.columns] == [c.lower() for c in res.columns]
+    stypes = {f.name.lower(): _canon_type(f.type) for f in sdf.toArrow().schema}
+    otypes = {f.name.lower(): _canon_type(f.type) for f in res.arrow().schema}
+    assert stypes == otypes
     assert len(got) == len(want)
     assert got == want
