@@ -8,13 +8,18 @@ Scale design (the point of each shape):
   (narrow, codegen'd array lambdas); banding explodes each doc into B rows and
   the *only* shuffle is a groupBy/self-join on ``(band, band_hash)`` buckets —
   candidate pairs ~ O(collisions), not O(n²). Exact Jaccard verifies candidates.
-- **SimHash**: one 32-bit signature per doc from token-hash bit votes; banding
-  on the 4 signature bytes; Hamming-distance verify via ``bit_count(a ^ b)``.
+- **SimHash**: one 64-bit signature per doc from token-hash bit votes
+  (4 × 16-bit bands → 65,536 bucket values per band; pigeonhole recall 1.0
+  for Hamming <= 3); Hamming-distance verify via ``bit_count(a ^ b)``.
 - **n-gram Jaccard**: the verify kernel exposed standalone.
 
-Every step is deterministic and portable (md5-based hashing — see
-functions/text.py), so the DuckDB ``*_sql`` twins reproduce results
-bit-for-bit: the driver hash-compares actual pair lists and scores.
+Every operator takes a ``kernel`` argument (functions/text.KERNELS):
+``xxhash64`` is the production default (JVM-native, lock-free — JVM digest
+functions serialize on the JCA provider lock and anti-scale with threads);
+``md5`` is the oracle-parity mode, deterministic and bit-identical to the
+DuckDB ``*_sql`` twins, which are defined for ``md5`` only. Both modes are
+deterministic; LSH candidate sets (and thus verified near-dup outputs) may
+differ slightly between hash families — recall bounds hold for either.
 
 Reference parity: the reference dedups task outputs by content checksum
 (/root/reference/investigraph/cache.py:41-45) and merges identical entities by
@@ -28,17 +33,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from investigraph_etl_spark.functions import text as X
+from investigraph_etl_spark.operators.util import fanout
 
 # ---------------------------------------------------------------------- exact
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", kernel: str = "xxhash64"
+) -> DataFrame:
     """Exact-duplicate groups: digest → canonical (min) id + member count.
 
-    Returns one row per duplicated digest (n_docs >= 2).
+    Returns one row per duplicated digest (n_docs >= 2). ``digest`` is a long
+    (xxhash64, production) or hex string (md5, oracle-parity).
     """
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        docs.groupBy(X.digest(F.col(text_col), kernel).alias("digest"))
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count(F.lit(1)).alias("n_docs"),
@@ -66,7 +75,7 @@ ROWS_PER_BAND = 3
 def _token_sets(docs: DataFrame, text_col: str, shingle_k: int) -> DataFrame:
     tok = X.tokens(F.col(text_col))
     sh = tok if shingle_k <= 1 else X.shingles(tok, shingle_k)
-    return docs.select("doc_id", F.array_distinct(sh).alias("sh"))
+    return fanout(docs).select("doc_id", F.array_distinct(sh).alias("sh"))
 
 
 def _token_sets_sql(table: str, text_col: str, shingle_k: int) -> str:
@@ -80,16 +89,20 @@ def minhash_signature(
     text_col: str = "text",
     n_perm: int = N_PERM,
     shingle_k: int = 1,
+    kernel: str = "xxhash64",
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of ``n_perm`` minimum md5 digests.
+    """Per-doc MinHash signature: array of ``n_perm`` per-permutation minima.
 
-    "Permutation" p is the keyed hash ``md5('p<p>:' || shingle)``; the
-    signature element is the lexicographic min over the doc's shingle set —
-    the classic min-wise independent family, portable across engines.
+    "Permutation" p is the keyed hash of the shingle (xxhash64 seeded with p /
+    ``md5('p<p>:' || shingle)``); the signature element is the min (numeric /
+    lexicographic) over the doc's shingle set — the classic min-wise
+    independent family. Narrow (array lambdas only), no shuffle.
     """
     sets = _token_sets(docs, text_col, shingle_k)
 
     def perm_hash(p: int):
+        if kernel == "xxhash64":
+            return lambda s: F.xxhash64(F.lit(p), s)
         return lambda s: F.md5(F.concat(F.lit(f"p{p}:"), s))
 
     sig = F.array(
@@ -119,6 +132,8 @@ def minhash_neardup(
     n_perm: int = N_PERM,
     bands: int = BANDS,
     shingle_k: int = 1,
+    kernel: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs verified by exact Jaccard >= threshold.
 
@@ -129,41 +144,83 @@ def minhash_neardup(
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     r = n_perm // bands
-    sig = minhash_signature(docs, text_col, n_perm, shingle_k)
-    band_arr = F.array(
-        *[
+    sig = minhash_signature(docs, text_col, n_perm, shingle_k, kernel)
+    if kernel == "xxhash64":
+        # one xxhash64 over the band's slice of the long[] signature
+        band_cols = [F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)) for b in range(bands)]
+    else:
+        band_cols = [
             F.md5(F.concat_ws("", F.slice(F.col("sig"), b * r + 1, r)))
             for b in range(bands)
         ]
-    )
-    # Candidate pairs carry ONLY (id_a, id_b) through the join + dedup — the
-    # shingle sets rejoin afterwards, so the candidate shuffle moves two longs
-    # per row instead of two token arrays.
+    band_arr = F.array(*band_cols)
     banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _bucket_pairs(banded, ["band", "bh"], max_bucket)
     return _verify_jaccard(cand, sig.select("doc_id", "sh"), threshold)
 
 
+def _bucket_pairs(
+    rows: DataFrame, keys: list[str], max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs of doc_ids sharing a bucket key.
+
+    Shape (why not a self-join): ``groupBy(keys).collect_list(doc_id)`` then a
+    double explode — the signature/index subtree is computed and shuffled ONCE
+    (a self-join would recompute it per side; ReuseExchange does not fire
+    across the join aliases, measured). Pair volume is identical to the
+    self-join's (O(Σ bucket²), collision-bounded).
+
+    ``max_bucket`` is the production skew guard: a degenerate bucket of d docs
+    (e.g. a boilerplate signature repeated across the corpus) yields d² pairs
+    AND a d-element collected list on one reducer; buckets above the cap are
+    dropped (their members still pair through their other bands/shingles).
+    None (default) keeps exact semantics for the oracle faces.
+    """
+    buckets = (
+        rows.groupBy(*keys)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    return (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verify of (id_a, id_b) candidates against token sets."""
-    verified = (
-        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    """Exact-Jaccard verify of (id_a, id_b) candidates against token sets.
+
+    One join, not two: each pair explodes to its two member ids, joins the
+    sets table ONCE on doc_id, and a groupBy gathers the two shingle sets
+    back onto the pair row. The sets subtree (tokenize + shingle — the CPU
+    hot spot) is therefore computed once; the gather shuffle is keyed by the
+    (collision-bounded) candidate pairs.
+    """
+    member = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    )
+    gathered = (
+        member.join(sets, "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return verified.select("id_a", "id_b", jac.alias("jaccard")).filter(
+    return gathered.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -205,77 +262,147 @@ WHERE len(list_intersect(sa.sh, sb.sh))
 # ------------------------------------------------------------------- simhash
 
 
-def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc: bit j set iff the sum of (2*bit_j(h(tok)) - 1)
-    over distinct tokens is > 0, h = portable 32-bit md5 prefix.
+def simhash64(
+    docs: DataFrame, text_col: str = "text", kernel: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash per doc, as two 32-bit halves ``(sim_hi, sim_lo)``.
 
-    Computed as array lambdas over the token set — narrow, no explode/shuffle.
+    Bit j of each half is set iff the sum of (2*bit_j(h(tok)) - 1) over the
+    doc's distinct tokens is > 0, where h yields 64 independent bits per token
+    (functions/text.hash32_pair — one xxhash64 / one md5 call per token).
+
+    Shape (scale rationale): explode distinct tokens → hash each token ONCE →
+    groupBy(doc_id) with 64 CASE-sum bit votes. The partial (map-side) agg
+    reduces each doc's contribution to 64 ints per partition before the
+    shuffle, so shuffle bytes are ~512 B/doc regardless of doc length — and a
+    10 M-token doc never materializes a per-doc array. Tokenless docs get the
+    zero signature via a narrow union (no join).
+
+    The two-halves representation avoids 64-bit sign arithmetic entirely
+    (bit 63 of a single BIGINT signature is the sign bit — DuckDB and ANSI
+    Spark both object to building it by addition).
     """
     toks = F.array_distinct(X.tokens(F.col(text_col)))
-    # Materialize the per-token hash array ONCE in its own projection — the 32
-    # bit-vote aggregates below each reference it, and without the explicit
-    # stage boundary Catalyst may expand (and md5 may run) 32x per token.
-    hashed = docs.select(
-        "doc_id", F.transform(toks, lambda t: X.hash32(t)).alias("hs")
+    base = fanout(docs).select("doc_id", toks.alias("toks"))
+    h_hi, h_lo = X.hash32_pair(F.col("t"), kernel)
+    hashed = base.select("doc_id", F.explode("toks").alias("t")).select(
+        "doc_id", h_hi.alias("h_hi"), h_lo.alias("h_lo")
     )
 
-    def bit_vote(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def vote(src: str, j: int):
+        bit = F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v_{src}_{j}")
 
-    votes = [F.aggregate(F.col("hs"), F.lit(0), bit_vote(j)) for j in range(32)]
-    sim = None
-    for j, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-        sim = term if sim is None else sim + term
-    return hashed.select("doc_id", sim.alias("simhash"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[vote("h_hi", j) for j in range(32)],
+        *[vote("h_lo", j) for j in range(32)],
+    )
+
+    def assemble(src: str):
+        terms = [
+            F.when(F.col(f"v_{src}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+            for j in range(32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    sig = votes.select(
+        "doc_id",
+        assemble("h_hi").alias("sim_hi"),
+        assemble("h_lo").alias("sim_lo"),
+    )
+    zero = F.lit(0).cast("long")
+    empties = base.filter(F.size("toks") == 0).select(
+        "doc_id", zero.alias("sim_hi"), zero.alias("sim_lo")
+    )
+    return sig.unionByName(empties)
 
 
-def simhash32_sql(table: str = "documents", text_col: str = "text") -> str:
+def simhash64_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`simhash64` (md5 kernel)."""
     toks = f"list_distinct({X.tokens_sql(text_col)})"
-    hashes = f"list_transform({toks}, t -> {X.hash32_sql('t')})"
-    terms = []
-    for j in range(32):
-        vote = (
-            f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 "
-            f"THEN 1 ELSE -1 END))"
-        )
-        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)::BIGINT")
-    total = " + ".join(terms)
-    return (
-        f"SELECT doc_id, {total} AS simhash FROM "
-        f"(SELECT doc_id, {hashes} AS hs FROM {table})"
+    hi, lo = X.hash32_pair_sql("t")
+    votes = ", ".join(
+        f"sum(CASE WHEN ({src} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{src}_{j}"
+        for src in ("h_hi", "h_lo")
+        for j in range(32)
     )
+
+    def assemble(src: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN v_{src}_{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT"
+            for j in range(32)
+        )
+
+    return f"""
+SELECT doc_id, {assemble('h_hi')} AS sim_hi, {assemble('h_lo')} AS sim_lo
+FROM (
+  SELECT doc_id, {votes}
+  FROM (SELECT doc_id, {hi} AS h_hi, {lo} AS h_lo
+        FROM (SELECT doc_id, unnest({toks}) AS t FROM {table}))
+  GROUP BY doc_id
+)
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT FROM {table} WHERE len({toks}) = 0
+"""
 
 
 def simhash_neardup(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    kernel: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band on the 4 signature bytes (a pair within
-    Hamming distance 3 of 32 bits must agree on at least one byte — pigeonhole
-    gives recall 1.0 for max_hamming <= 3), verify ``bit_count(a ^ b)``.
+    """SimHash near-dup pairs: band the 64-bit signature into 4 × 16-bit
+    bands — a pair within Hamming distance 3 must agree on at least one band
+    (pigeonhole: recall 1.0 for max_hamming <= 3) — then verify
+    ``bit_count(a ^ b)``.
 
-    Output: (id_a, id_b, hamming) with id_a < id_b.
+    Scale rationale for the 4×16 geometry: each band has 65,536 possible
+    values, so at corpus size n the expected band-bucket holds ~n/65,536 docs
+    and candidate volume is ~4 * n²/65,536 *before* signature skew — 256×
+    fewer candidates than byte-bands over a 32-bit signature. Widen further
+    (e.g. 8×16 over 128 bits) for max_hamming up to 7.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming BIGINT.
     """
-    sig = simhash32(docs, text_col)
-    bytes_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))
-            for b in range(4)
-        ]
+    sig = simhash64(docs, text_col, kernel)
+    bands = F.array(
+        F.shiftright(F.col("sim_hi"), 16),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16),
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
     )
-    banded = sig.select("doc_id", "simhash", F.posexplode(bytes_arr).alias("band", "bv"))
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    banded = sig.select(
+        F.struct("doc_id", "sim_hi", "sim_lo").alias("m"),
+        F.posexplode(bands).alias("band", "bv"),
+    )
+    # bucket-collect (see _bucket_pairs): one shuffle of the signature table,
+    # pairs + hamming computed in place from the collected structs — no
+    # self-join, no signature rejoin.
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.collect_list("m").alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket is not None:  # production skew guard — see _bucket_pairs
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    ham = (
+        F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+        + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    ).cast("long")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        pairs.select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             ham.alias("hamming"),
@@ -288,18 +415,24 @@ def simhash_neardup(
 def simhash_neardup_sql(
     table: str = "documents", text_col: str = "text", max_hamming: int = 3
 ) -> str:
-    sig = simhash32_sql(table, text_col)
+    sig = simhash64_sql(table, text_col)
+    band_exprs = [
+        "sim_hi >> 16",
+        "sim_hi & 65535",
+        "sim_lo >> 16",
+        "sim_lo & 65535",
+    ]
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv "
-        f"FROM sig"
-        for b in range(4)
+        f"SELECT doc_id, sim_hi, sim_lo, {b} AS band, ({e}) AS bv FROM sig"
+        for b, e in enumerate(band_exprs)
     )
     return f"""
 WITH sig AS ({sig}),
 banded AS ({band_rows}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
+         (bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)))::BIGINT AS hamming
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 )
@@ -316,11 +449,19 @@ def ngram_jaccard_pairs(
     shingle_k: int = 2,
     threshold: float = 0.35,
     max_df: int | None = 50,
+    kernel: str = "xxhash64",
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share at least one
     *indexable* shingle (inverted-index join on the shingle — the scalable
     alternative to a cross join; shuffle is keyed by shingle, skew-handled by
     AQE).
+
+    ``kernel="xxhash64"`` (production) keys the inverted index on
+    ``xxhash64(shingle)`` instead of the raw string — index/shuffle rows
+    become two longs (16 B) regardless of shingle length; a 64-bit false
+    collision only *adds* a candidate, which the exact-Jaccard verify then
+    rejects, so results are identical up to ~2^-64 noise. ``md5`` mode keeps
+    raw strings (the oracle's shape).
 
     ``max_df``: shingles occurring in more than this many documents are
     dropped from the INDEX (not from the verify sets) — standard stop-shingle
@@ -331,20 +472,22 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sets = _token_sets(docs, text_col, shingle_k)
-    inv = sets.select("doc_id", "sh", F.explode("sh").alias("g"))
-    inv = inv.select("doc_id", "g")  # index rows: two scalars, no arrays
+    g = F.explode("sh").alias("g")
+    if kernel == "xxhash64":
+        inv = sets.select("doc_id", g).select("doc_id", F.xxhash64("g").alias("g"))
+    else:
+        inv = sets.select("doc_id", g).select("doc_id", "g")  # two scalars, no arrays
+    # One groupBy replaces the df-count + rare-join + self-join (3 shuffles →
+    # 1): the stop-shingle cap is simply a bucket-size filter, and pairs come
+    # from the collected posting list (see _bucket_pairs for the rationale).
+    buckets = inv.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
+    buckets = buckets.filter(F.size("ids") >= 2)
     if max_df is not None:
-        rare = (
-            inv.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("g")
-        )
-        inv = inv.join(rare, "g")
-    a, b = inv.alias("a"), inv.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_df)
     cand = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return _verify_jaccard(cand, sets, threshold)

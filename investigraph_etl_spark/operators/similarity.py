@@ -8,10 +8,13 @@ Two physical strategies for top-k cosine neighbors:
   corpus side stays partition-parallel; only k rows per query per partition
   survive to the final shuffle when AQE applies partial top-k (the window is
   preceded by a per-partition limit in the packed variant below).
-- **Sign-LSH** (scale path): H deterministic hyperplanes (portable pseudo-
-  random from md5 — identical in the DuckDB oracle) hash each vector to an
-  H-bit bucket; candidates = bucket collisions (+ optional multi-probe),
-  verified with exact cosine. Shuffle is keyed by bucket, O(collisions).
+- **Sign-LSH** (scale path): T independent tables of P deterministic
+  hyperplanes each (portable pseudo-random from md5 — identical in the DuckDB
+  oracle) hash each vector to a P-bit bucket per table; candidates = same-
+  (table, bucket) collisions (+ optional multi-probe on flipped bits),
+  verified with exact cosine. Candidate rows carry ONLY (id_a, id_b) through
+  the join — vectors rejoin for the verify — so the collision shuffle moves
+  two longs per pair, never the embeddings.
 
 Cosine is the order-stable double fold from functions/vectors.py, so scores —
 not just ids — hash-match the oracle.
@@ -27,9 +30,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from investigraph_etl_spark.functions import vectors as V
+from investigraph_etl_spark.operators.util import fanout
 
-#: Sign-LSH geometry: number of hyperplanes (bucket bits).
-N_PLANES = 6
+#: Sign-LSH default geometry (the production, scale-safe setting): 4 tables
+#: × 16 planes → 4 × 2^16 = 262,144 buckets. Geometry math: per-table bucket
+#: count is 2^n_planes, so choose n_planes ≈ log2(n_vectors / target_bucket
+#: occupancy) — 16 bits holds ~n/65,536 vectors per bucket (10^10 vectors →
+#: ~150 k/bucket; add planes as the corpus grows). Recall is recovered by
+#: adding TABLES (independent plane sets), not by shrinking the bucket space:
+#: P(candidate) = 1 - (1 - p^P)^T with p = 1 - θ/π, plus optional multi-probe.
+#: Small corpora (tests / the sf0.01 oracle face) should pass n_planes≈6
+#: explicitly so buckets stay populated.
+N_TABLES = 4
+N_PLANES = 16
 
 
 def cosine_topk(
@@ -52,7 +65,9 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     cand = F.broadcast(q).crossJoin(
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        fanout(emb).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        )
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id",
@@ -93,94 +108,172 @@ QUALIFY rank <= {k}
 """
 
 
-def _plane_coef(j: int, i: int) -> float:
+def _plane_coef(t: int, j: int, i: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
 
-    Derived from md5 of "plane:<j>:<i>" — reproduced literally in SQL so both
-    engines build the same planes. Computed at plan-build time (constants in
-    the plan; no per-row hashing cost).
+    Derived from md5 of "plane:<t>:<j>:<i>" (table t, plane j, dim i) —
+    reproduced literally in SQL so both engines build the same planes.
+    Computed at plan-build time (constants in the plan; no per-row hashing).
     """
     import hashlib
 
-    h = int(hashlib.md5(f"plane:{j}:{i}".encode()).hexdigest()[:8], 16)
+    h = int(hashlib.md5(f"plane:{t}:{j}:{i}".encode()).hexdigest()[:8], 16)
     return (h / float(1 << 31)) - 1.0
 
 
-def _bucket_expr(vec_col: str, dim: int, n_planes: int):
-    """H-bit sign bucket: bit j = sign(dot(v, plane_j)) — array lambdas only."""
-    bucket = F.lit(0)
+def _bucket_expr(vec_col: str, dim: int, t: int, n_planes: int):
+    """Table t's P-bit sign bucket: bit j = sign(dot(v, plane_tj)) — array
+    lambdas only (JVM-side, no Python)."""
+    bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        coefs = F.array(*[F.lit(_plane_coef(j, i)) for i in range(dim)])
+        coefs = F.array(*[F.lit(_plane_coef(t, j, i)) for i in range(dim)])
         d = F.aggregate(
             F.zip_with(F.col(vec_col).cast("array<double>"), coefs, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return bucket
 
 
-def _bucket_sql(vec_col: str, dim: int, n_planes: int) -> str:
+def _bucket_sql(vec_col: str, dim: int, t: int, n_planes: int) -> str:
     terms = []
     for j in range(n_planes):
-        coefs = "[" + ", ".join(repr(_plane_coef(j, i)) for i in range(dim)) + "]"
+        coefs = "[" + ", ".join(repr(_plane_coef(t, j, i)) for i in range(dim)) + "]"
         d = (
             f"list_reduce(list_prepend(0.0, "
             f"list_transform(generate_series(1, {dim}), "
             f"i -> ({vec_col})[i]::DOUBLE * ({coefs})[i])), (acc, x) -> acc + x)"
         )
-        terms.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)")
+        terms.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)::BIGINT")
     return " + ".join(terms)
 
 
 def lsh_neighbors(
     emb: DataFrame,
     dim: int = 64,
+    n_tables: int = N_TABLES,
     n_planes: int = N_PLANES,
     threshold: float = 0.3,
+    probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-LSH candidate pairs verified by exact cosine >= threshold.
+    """Banded multi-table sign-LSH pairs verified by exact cosine >= threshold.
 
-    The self-join is keyed on the H-bit bucket — at 10^10 vectors the shuffle
-    is bucket-partitioned and candidate volume is collision-bounded; raise
-    ``n_planes`` to shrink buckets. Recall < 1 by construction (the LSH
-    trade); the exact variant for full recall is :func:`cosine_topk`.
+    Each vector lands in one bucket per table (``n_tables`` independent plane
+    sets of ``n_planes`` bits — see the geometry note on N_TABLES above); the
+    self-join is keyed on (table, bucket), so at 10^10 vectors the shuffle is
+    bucket-partitioned and candidate volume is collision-bounded. Candidates
+    carry only (id_a, id_b); vectors rejoin afterwards for the cosine verify.
+
+    ``probe_bits`` = p > 0 enables multi-probe: each vector additionally
+    probes the p buckets at Hamming distance 1 on its bucket's low p bits
+    (probe side only — probe↔probe pairs are not generated), trading p× more
+    left-side rows for recall on near-boundary vectors.
+
+    Recall < 1 by construction (the LSH trade); the exact variant for full
+    recall is :func:`cosine_topk`.
 
     Output: (id_a, id_b, cos) with id_a < id_b.
     """
-    b = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _bucket_expr(vec_col, dim, n_planes).alias("bucket"),
+    bucket_arr = F.array(
+        *[_bucket_expr(vec_col, dim, t, n_planes) for t in range(n_tables)]
     )
-    l, r = b.alias("l"), b.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
-    ).select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        V.cosine(F.col("l.v"), F.col("r.v")).alias("cos"),
+    b = fanout(emb).select(
+        F.col(id_col).alias("id"), F.posexplode(bucket_arr).alias("tbl", "bucket")
     )
-    return cand.filter(F.col("cos") >= threshold)
+    # real members (probe=0) + optional multi-probe rows (probe=1); the bucket
+    # plumbing is computed and shuffled ONCE via groupBy-collect (a self-join
+    # would recompute the n_tables × n_planes dot products per side).
+    rows = b.select("id", "tbl", "bucket", F.lit(0).alias("probe"))
+    for j in range(probe_bits):
+        rows = rows.unionByName(
+            b.select(
+                "id",
+                "tbl",
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).alias("bucket"),
+                F.lit(1).alias("probe"),
+            )
+        )
+    buckets = (
+        rows.groupBy("tbl", "bucket")
+        .agg(F.collect_list(F.struct("id", "probe")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode("ms").alias("x"), "ms")
+        .select("x", F.explode("ms").alias("y"))
+        # probe<->probe pairs are not generated: probing is Hamming-1 by
+        # design (a probe-probe collision implies the real buckets differ in
+        # two bits, outside the probe radius)
+        .filter(
+            (F.col("x.id") != F.col("y.id"))
+            & ~((F.col("x.probe") == 1) & (F.col("y.probe") == 1))
+        )
+        .select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # single-join gather: candidates explode to member ids, the embedding
+    # table joins ONCE, and a groupBy reassembles (va, vb) per pair.
+    member = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
+    )
+    vecs = emb.select(F.col(id_col).alias("mid"), F.col(vec_col).alias("v"))
+    gathered = (
+        member.join(vecs, "mid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("mid") == F.col("id_a"), F.col("v")), ignorenulls=True
+            ).alias("va"),
+            F.first(
+                F.when(F.col("mid") == F.col("id_b"), F.col("v")), ignorenulls=True
+            ).alias("vb"),
+        )
+    )
+    return (
+        gathered.select(
+            "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
 
 
 def lsh_neighbors_sql(
     table: str = "embeddings",
     dim: int = 64,
+    n_tables: int = N_TABLES,
     n_planes: int = N_PLANES,
     threshold: float = 0.3,
+    probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    bucket = _bucket_sql(vec_col, dim, n_planes)
-    cos = V.cosine_sql("l.v", "r.v")
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {id_col} AS id, {t} AS tbl, "
+        f"({_bucket_sql(vec_col, dim, t, n_planes)}) AS bucket FROM {table}"
+        for t in range(n_tables)
+    )
+    probe_rows = "SELECT * FROM b" + "".join(
+        f" UNION ALL SELECT id, tbl, xor(bucket, {1 << j}) AS bucket FROM b"
+        for j in range(probe_bits)
+    )
+    cos = V.cosine_sql("va.{v}".format(v=vec_col), "vb.{v}".format(v=vec_col))
     return f"""
-WITH b AS (SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table})
-SELECT l.id AS id_a, r.id AS id_b, {cos} AS cos
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+WITH b AS ({bucket_rows}),
+p AS ({probe_rows}),
+cand AS (
+  SELECT DISTINCT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b
+  FROM p l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id != r.id
+)
+SELECT c.id_a, c.id_b, {cos} AS cos
+FROM cand c
+JOIN {table} va ON va.{id_col} = c.id_a
+JOIN {table} vb ON vb.{id_col} = c.id_b
 WHERE {cos} >= {threshold}
 """
 

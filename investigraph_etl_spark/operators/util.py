@@ -1,0 +1,23 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Ensure at least one partition per core before CPU-dense narrow work.
+
+    Higher-order array lambdas (transform/aggregate/zip_with — the shingle,
+    MinHash and LSH-bucket kernels) run INTERPRETED in Spark, not
+    whole-stage-codegen'd, so they are the CPU hot spot of the dedup/
+    similarity operators. On a real cluster the scan supplies ample
+    partitions (one per ~128 MB split) and this is a no-op; a small local
+    read of a single-row-group file yields ONE partition and would serialize
+    the whole operator on one core. The round-robin repartition only fires in
+    that degenerate case, and only moves the raw input rows once.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

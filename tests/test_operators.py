@@ -95,7 +95,7 @@ def test_exact_duplicates_finds_planted_dupes(spark):
 
 def test_minhash_oracle_parity(spark, docs, duck):
     got = _assert_matches(
-        D.minhash_neardup(docs, shingle_k=2, threshold=0.35),
+        D.minhash_neardup(docs, shingle_k=2, threshold=0.35, kernel="md5"),
         duck,
         D.minhash_neardup_sql(shingle_k=2, threshold=0.35),
     )
@@ -105,16 +105,73 @@ def test_minhash_oracle_parity(spark, docs, duck):
 
 def test_simhash_oracle_parity(spark, docs, duck):
     _assert_matches(
-        D.simhash_neardup(docs, max_hamming=1), duck, D.simhash_neardup_sql(max_hamming=1)
+        D.simhash_neardup(docs, max_hamming=3, kernel="md5"),
+        duck,
+        D.simhash_neardup_sql(max_hamming=3),
     )
 
 
 def test_ngram_jaccard_oracle_parity(spark, docs, duck):
     _assert_matches(
-        D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.2),
+        D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.2, kernel="md5"),
         duck,
         D.ngram_jaccard_pairs_sql(shingle_k=3, threshold=0.2),
     )
+
+
+# ----------------------------------------------- production (xxhash64) kernel
+
+
+def test_prod_kernel_matches_md5_on_verified_semantics(spark, docs):
+    """Both kernels verify with EXACT Jaccard, so every pair either kernel
+    emits must be a true >=threshold pair; the kernels only differ in which
+    candidates the (arbitrary) hash family surfaces."""
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, shingle_k=2, threshold=0.35, max_df=None
+        ).collect()
+    }
+    for kernel in ("xxhash64", "md5"):
+        got = D.minhash_neardup(
+            docs, shingle_k=2, threshold=0.35, kernel=kernel
+        ).collect()
+        for r in got:
+            assert (r.id_a, r.id_b) in truth
+            assert r.jaccard == pytest.approx(truth[(r.id_a, r.id_b)])
+
+
+def test_simhash64_identical_docs_collide_at_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "completely different words entirely here"),
+            (4, ""),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    for kernel in ("xxhash64", "md5"):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in D.simhash_neardup(df, max_hamming=3, kernel=kernel).collect()
+        }
+        assert pairs[(1, 2)] == 0  # identical text -> identical signature
+        assert pairs[(4, 5)] == 0  # tokenless docs -> zero signature, kept
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_duplicates_kernels_agree_on_groups(spark, docs):
+    a = sorted(
+        (r.keep_id, r.n_docs)
+        for r in D.exact_duplicates(docs, kernel="xxhash64").collect()
+    )
+    b = sorted(
+        (r.keep_id, r.n_docs)
+        for r in D.exact_duplicates(docs, kernel="md5").collect()
+    )
+    assert a == b
 
 
 def test_minhash_recall_against_bruteforce(spark, docs):
@@ -148,15 +205,33 @@ def test_ann_topk_oracle_parity(spark, emb, duck):
     assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
 
 
+#: Small-corpus geometry for sf0.001 tests (library default is the
+#: 10^10-scale 4 x 16; 6 planes keeps the 64 buckets/table populated here).
+_SMALL = dict(n_tables=4, n_planes=6)
+
+
 def test_lsh_neighbors_oracle_parity(spark, emb, duck):
-    _assert_matches(S.lsh_neighbors(emb), duck, S.lsh_neighbors_sql())
+    _assert_matches(
+        S.lsh_neighbors(emb, **_SMALL), duck, S.lsh_neighbors_sql(**_SMALL)
+    )
 
 
-def test_lsh_is_subset_of_bruteforce(spark, emb):
-    lsh = {(r.id_a, r.id_b) for r in S.lsh_neighbors(emb, threshold=0.3).collect()}
-    # brute-force truth over all pairs at the same threshold
+def test_lsh_multiprobe_oracle_parity_and_recall(spark, emb, duck):
+    base = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_neighbors(emb, **_SMALL).collect()
+    }
+    probed = _assert_matches(
+        S.lsh_neighbors(emb, probe_bits=2, **_SMALL),
+        duck,
+        S.lsh_neighbors_sql(probe_bits=2, **_SMALL),
+    )
+    assert base <= {(a, b) for a, b, _ in probed}  # probing only adds pairs
+
+
+def _bruteforce_pairs(emb, threshold):
     a, b = emb.alias("a"), emb.alias("b")
-    truth = {
+    return {
         (r.id_a, r.id_b)
         for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -164,10 +239,19 @@ def test_lsh_is_subset_of_bruteforce(spark, emb):
             F.col("b.vec_id").alias("id_b"),
             V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.3)
+        .filter(F.col("cos") >= threshold)
         .collect()
     }
-    assert lsh <= truth
+
+
+def test_lsh_is_subset_of_bruteforce(spark, emb):
+    truth = _bruteforce_pairs(emb, 0.3)
+    for kw in (_SMALL, dict(probe_bits=2, **_SMALL), {}):
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in S.lsh_neighbors(emb, threshold=0.3, **kw).collect()
+        }
+        assert lsh <= truth
 
 
 # -------------------------------------------------------- multimodal parity
