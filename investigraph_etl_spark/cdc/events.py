@@ -73,13 +73,23 @@ def canonicalize_events(events: DataFrame) -> DataFrame:
     """
     canon_types = {"op", "conv_id", "turn_idx", "ts", "seq"}
     payload = [c for c in events.columns if c not in canon_types]
+    # Known payload columns are pinned to their declared types here (not just
+    # in the MERGE): quarantined rows are appended to the _quarantine parquet
+    # dir as-is, and without the cast two epochs with differently-inferred
+    # input types would write conflicting parquet schemas there. Evolved
+    # (unknown) columns pass through untouched.
+    known = {f.name: f.dataType for f in CHANGE_EVENT_SCHEMA.fields}
+
+    def _payload(c: str):
+        return F.col(c).cast(known[c]).alias(c) if c in known else F.col(c)
+
     return events.select(
         F.lower(F.col("op")).cast("string").alias("op"),
         F.col("conv_id").cast("string").alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("seq").cast("long").alias("seq"),
-        *[F.col(c) for c in payload],
+        *[_payload(c) for c in payload],
     ).withColumn("_valid", _valid_predicate())
 
 

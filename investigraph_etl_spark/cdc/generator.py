@@ -172,24 +172,44 @@ def generate_events(cfg: GeneratorConfig = GeneratorConfig()) -> pd.DataFrame:
     return df
 
 
-def write_epoch_files(df: pd.DataFrame, out_dir: str, fmt: str = "parquet") -> list[str]:
-    """Write one file per epoch (the stream's discovery unit). Returns paths.
+def write_epoch_files(
+    df: pd.DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    files_per_epoch: int = 1,
+) -> list[str]:
+    """Write each epoch as ``files_per_epoch`` chunk files (the stream's
+    discovery unit). Returns paths.
 
-    Files are named so lexicographic order == epoch order, mirroring how a
-    binlog tail lands in a landing directory.
+    Files are named so lexicographic order == (epoch, chunk) order, mirroring
+    how a binlog tail lands in a landing directory. ``files_per_epoch > 1``
+    matters for ingest parallelism: a parquet file is one scan task (single
+    row group), so a 1-file epoch serializes the scan+decode of the whole
+    micro-batch on one core no matter how many executors exist. A real CDC
+    landing zone ships many segment files per trigger; pair this with
+    ``IngestPipeline(max_files_per_trigger=files_per_epoch)`` to keep one
+    epoch == one micro-batch.
     """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for epoch, part in df.groupby("epoch", sort=True):
-        p = os.path.join(out_dir, f"events-{int(epoch):05d}.{fmt}")
         body = part.drop(columns=["epoch"])
-        if fmt == "parquet":
-            body.to_parquet(p, index=False)
-        elif fmt == "json":
-            body.to_json(p, orient="records", lines=True, date_format="iso", date_unit="us")
-        else:
-            raise ValueError(f"unsupported format: {fmt}")
-        paths.append(p)
+        chunks = (
+            [body]
+            if files_per_epoch <= 1
+            else np.array_split(body, files_per_epoch)
+        )
+        for ci, chunk in enumerate(chunks):
+            p = os.path.join(out_dir, f"events-{int(epoch):05d}-{ci:03d}.{fmt}")
+            if fmt == "parquet":
+                chunk.to_parquet(p, index=False)
+            elif fmt == "json":
+                chunk.to_json(
+                    p, orient="records", lines=True, date_format="iso", date_unit="us"
+                )
+            else:
+                raise ValueError(f"unsupported format: {fmt}")
+            paths.append(p)
     return paths

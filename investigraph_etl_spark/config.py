@@ -50,16 +50,38 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------- deep merge
 
 
+def _is_empty(v: Any) -> bool:
+    """Reference ``is_empty`` (/root/reference/investigraph/util.py:85-90):
+    bool/int/"" are never empty (False, 0, "" survive a merge); otherwise
+    falsy (None, {}, []) is empty."""
+    if isinstance(v, (bool, int)):
+        return False
+    if v == "":
+        return False
+    return not v
+
+
 def deep_merge(base: dict, override: dict) -> dict:
-    """Config-layer deep merge: override wins, empty override values are
-    skipped (reference semantics: ``pydantic_merge``,
-    /root/reference/investigraph/util.py:93-113)."""
+    """Config-layer deep merge, reference ``dict_merge`` semantics
+    (/root/reference/investigraph/util.py:93-106): override wins, empty
+    override values (per ``_is_empty``) are skipped, dicts merge recursively,
+    and LIST values CONCATENATE (base + override) — a profile config adds
+    sources to a base config rather than replacing them."""
     out = dict(base)
     for k, v in override.items():
-        if v is None or v == {} or v == []:
+        if _is_empty(v):
             continue
         if isinstance(v, dict) and isinstance(out.get(k), dict):
             out[k] = deep_merge(out[k], v)
+        elif isinstance(v, (list, tuple)):
+            prev = out.get(k)
+            if isinstance(prev, (list, tuple)):
+                prev = list(prev)
+            elif prev is None:
+                prev = []
+            else:
+                prev = [prev]
+            out[k] = prev + list(v)
         else:
             out[k] = v
     return out
@@ -133,6 +155,86 @@ def compile_filters(
     return pred
 
 
+# ------------------------------------------------------------- frame ops
+
+
+def compile_frame_op(op: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
+    """One declarative playbook op → a vectorized DataFrame transform.
+
+    The reference lists pandas-method ops per source
+    (``operations: [{handler: DataFrame.fillna, options: {value: ""}}]``,
+    /root/reference/tests/fixtures/ec_meetings/config.yml:28-35, applied per
+    chunk at /root/reference/investigraph/logic/extract.py:37). Here each op
+    compiles to the equivalent Catalyst transform — same YAML vocabulary,
+    no pandas in the path:
+
+    - ``DataFrame.fillna``    → ``df.na.fill(value[, subset])``
+    - ``DataFrame.dropna``    → ``df.na.drop([how][, subset])``
+    - ``DataFrame.rename``    → ``withColumnsRenamed(columns)``
+    - ``DataFrame.drop``      → ``df.drop(*columns)``
+    - ``DataFrame.drop_duplicates`` → ``dropDuplicates([subset])``
+    - ``DataFrame.sort_values``     → ``orderBy(by, ascending)``
+    - ``DataFrame.astype``    → per-column casts
+    - ``DataFrame.query``     → ``df.filter(expr)`` (SQL predicate)
+    """
+    handler = op.get("handler", "")
+    name = handler.split(".")[-1]
+    opts = op.get("options") or {}
+
+    def fillna(df):
+        value = opts.get("value", "")
+        subset = opts.get("subset")
+        return df.na.fill(value, subset=subset)
+
+    def dropna(df):
+        return df.na.drop(how=opts.get("how", "any"), subset=opts.get("subset"))
+
+    def rename(df):
+        return df.withColumnsRenamed(dict(opts.get("columns", {})))
+
+    def drop(df):
+        cols = opts.get("columns", [])
+        return df.drop(*([cols] if isinstance(cols, str) else cols))
+
+    def drop_duplicates(df):
+        subset = opts.get("subset")
+        return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+    def sort_values(df):
+        by = opts.get("by", [])
+        by = [by] if isinstance(by, str) else list(by)
+        asc = opts.get("ascending", True)
+        return df.orderBy(*by, ascending=asc)
+
+    def astype(df):
+        return df.withColumns(
+            {c: F.col(c).cast(t) for c, t in dict(opts.get("dtype", {})).items()}
+        )
+
+    def query(df):
+        return df.filter(opts["expr"])
+
+    ops = {
+        "fillna": fillna,
+        "dropna": dropna,
+        "rename": rename,
+        "drop": drop,
+        "drop_duplicates": drop_duplicates,
+        "sort_values": sort_values,
+        "astype": astype,
+        "query": query,
+    }
+    if name not in ops:
+        raise ValueError(f"unsupported frame op: {handler!r}")
+    return ops[name]
+
+
+def apply_frame_ops(df: DataFrame, operations: list[dict] | None) -> DataFrame:
+    for op in operations or []:
+        df = compile_frame_op(op)(df)
+    return df
+
+
 # ------------------------------------------------------------ stage handlers
 
 
@@ -164,6 +266,7 @@ class PipelineConfig:
 
     name: str
     source: dict[str, Any] = field(default_factory=dict)
+    operations: list[dict] = field(default_factory=list)  # playbook frame ops
     filters: dict[str, Any] | None = None
     filters_not: dict[str, Any] | None = None
     columns: dict[str, Any] = field(default_factory=dict)
@@ -185,20 +288,45 @@ class PipelineConfig:
 
 
 def read_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
-    """O1/O4 scan: format + path + options → DataFrame (csv/json/parquet).
+    """O1/O4 scan: format + path + options → DataFrame.
 
     The reference's mimetype dispatch (/root/reference/investigraph/logic/
-    extract.py:23-38) becomes the reader format; its per-source pandas read
-    options (/root/reference/investigraph/model/stage.py:44-55) become reader
-    options.
+    extract.py:23-38) becomes the reader format (csv/json/parquet natively;
+    xlsx via sources/excel.py); its per-source pandas read options
+    (/root/reference/investigraph/model/stage.py:44-55) become reader options.
+
+    ``http(s)://`` paths are fetched through the conditional-re-read cache
+    (sources/http.py — etag/last-modified keyed, the reference's O2 fetch
+    semantics) and then read as local files.
     """
+    path = source["path"]
+    if path.startswith(("http://", "https://")):
+        from investigraph_etl_spark.sources.http import DEFAULT_CACHE_DIR, fetch
+
+        result = fetch(
+            path,
+            cache_dir=source.get("cache_dir", DEFAULT_CACHE_DIR),
+            use_cache=source.get("cache", True),
+        )
+        path = result.path
+
     fmt = source.get("format", "parquet")
+    if fmt in ("xlsx", "excel"):
+        from investigraph_etl_spark.sources.excel import read_excel_df
+
+        opts = source.get("options") or {}
+        return read_excel_df(
+            spark,
+            path,
+            skiprows=int(opts.get("skiprows", 0)),
+            sheet_index=int(opts.get("sheet_index", 0)),
+        )
     reader = spark.read.format(fmt)
     for k, v in (source.get("options") or {}).items():
         reader = reader.option(k, v)
     if fmt == "csv" and "header" not in (source.get("options") or {}):
         reader = reader.option("header", "true")
-    return reader.load(source["path"])
+    return reader.load(path)
 
 
 def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
@@ -213,6 +341,7 @@ def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     df = read_source(spark, cfg.source)
     if "extract" in cfg.handlers:
         df = resolve_handler(cfg.handlers["extract"])(df)
+    df = apply_frame_ops(df, cfg.operations or cfg.source.get("operations"))
     pred = compile_filters(cfg.filters, cfg.filters_not)
     if pred is not None:
         df = df.filter(pred)

@@ -3,7 +3,7 @@
 Physical layout::
 
     <root>/_log/00000000000000000001.json       commit chain (see log.py)
-    <root>/data/bucket=<i>/<commit-uuid>-*.parquet
+    <root>/data/commit=<token>/bucket=<i>/part-*.parquet
 
 Key design decisions, each driven by 100 TB scale:
 
@@ -40,7 +40,6 @@ Reference parity for the sink itself: keyed idempotent upsert store
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from typing import Any
 
@@ -53,10 +52,20 @@ from investigraph_etl_spark.lake.log import Commit, CommitLog
 
 HIDDEN_COLS = ("_ts", "_seq", "_deleted")
 _BUCKET_COL = "bucket"  # physical partition dir column; reserved name
+_COMMIT_COL = "commit"  # physical partition dir column naming the write
 
 
 def _bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def _bucket_of(rel_path: str) -> int | None:
+    """Bucket id of a data-relative file path (layout-agnostic: finds the
+    ``bucket=<i>`` component wherever it sits)."""
+    for comp in rel_path.split("/"):
+        if comp.startswith(f"{_BUCKET_COL}="):
+            return int(comp.split("=", 1)[1])
+    return None
 
 
 class EpochAlreadyApplied(Exception):
@@ -155,19 +164,25 @@ class LakeTable:
         self, files: list[str], schema: T.StructType, with_bucket: bool = False
     ) -> DataFrame:
         reader_schema = T.StructType(
-            list(schema.fields) + [T.StructField(_BUCKET_COL, T.IntegerType(), True)]
+            list(schema.fields)
+            + [
+                T.StructField(_COMMIT_COL, T.StringType(), True),
+                T.StructField(_BUCKET_COL, T.IntegerType(), True),
+            ]
         )
         if not files:
             df = self.spark.createDataFrame([], reader_schema)
         else:
             paths = [os.path.join(self.data_dir, f) for f in files]
             # Explicit schema: files written before a column existed read as null
-            # (additive evolution); basePath materializes the bucket partition col.
+            # (additive evolution); basePath materializes the commit/bucket
+            # partition columns from the directory layout.
             df = (
                 self.spark.read.schema(reader_schema)
                 .option("basePath", self.data_dir)
                 .parquet(*paths)
             )
+        df = df.drop(_COMMIT_COL)
         return df if with_bucket else df.drop(_BUCKET_COL)
 
     def _reduce_physical(self, df: DataFrame, physical: T.StructType) -> DataFrame:
@@ -204,8 +219,8 @@ class LakeTable:
         st = self._state()
         files = st.live_files
         if buckets is not None:
-            want = {f"{_BUCKET_COL}={b}" for b in buckets}
-            files = [f for f in files if f.split("/")[0] in want]
+            want = set(buckets)
+            files = [f for f in files if _bucket_of(f) in want]
         return self._read_files(files, T.StructType.fromJson(st.schema))
 
     # ------------------------------------------------------------------ write
@@ -233,42 +248,56 @@ class LakeTable:
                 visible.append(T.StructField(name, dtype, True))
         return T.StructType(visible + hidden)
 
+    #: Soft per-file row target (the ~128 MB file-size knob): tasks roll to a
+    #: new file past this many rows. None = one file per bucket per commit.
+    max_records_per_file: int | None = None
+
+    #: Write fan-out: >1 splits each bucket's write across this many tasks
+    #: (sub-bucket key = pmod(_seq)), for commits where a single bucket's
+    #: batch share is too large for one task's ~128 MB file budget.
+    write_fanout: int = 1
+
     def _write_data(
         self, df: DataFrame, n_buckets: int, n_touched: int | None = None
     ) -> list[str]:
         """Write df (must contain the bucket col) into data/, return new rel paths.
 
-        The frame is hash-repartitioned on the bucket column first so each
-        bucket lands in ~one task → O(touched buckets) files per commit
-        instead of O(tasks × buckets). (At petabyte scale a deployment raises
-        files-per-bucket by adding a sub-bucket split key here to hold the
-        ~128 MB file target; the commit log is layout-agnostic.)
+        Object-store-safe commit: tasks write DIRECTLY to the final location
+        ``data/commit=<token>/bucket=<i>/`` — a fresh token per write, so
+        nothing is ever renamed (a rename is a full copy on S3-class stores)
+        and the driver's only post-write work is ONE recursive LIST of the
+        token's directory to build the manifest. Files become live only when
+        the commit log references them; a crashed write leaves an orphaned
+        token directory that ``vacuum`` reclaims.
+
+        The frame is hash-repartitioned on the bucket column so each bucket
+        lands in ~one task (×``write_fanout`` sub-splits when configured) →
+        O(touched buckets) files per commit; ``max_records_per_file`` rolls
+        oversized task outputs into multiple ~target-size files.
         """
         token = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.root, "_staging", token)
+        dest = os.path.join(self.data_dir, f"{_COMMIT_COL}={token}")
         parts = max(1, n_touched if n_touched is not None else n_buckets)
-        (
-            df.repartition(parts, F.col(_BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET_COL)
-            .parquet(staging)
-        )
+        if self.write_fanout > 1 and "_seq" in df.columns:
+            out = df.repartition(
+                parts * self.write_fanout,
+                F.col(_BUCKET_COL),
+                F.pmod(F.col("_seq"), F.lit(self.write_fanout)),
+            )
+        else:
+            out = df.repartition(parts, F.col(_BUCKET_COL))
+        writer = out.write.mode("overwrite")
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        writer.partitionBy(_BUCKET_COL).parquet(dest)
+
         added: list[str] = []
-        for bucket_dir in sorted(os.listdir(staging)):
+        for bucket_dir in sorted(os.listdir(dest)):
             if not bucket_dir.startswith(f"{_BUCKET_COL}="):
                 continue
-            dst_dir = os.path.join(self.data_dir, bucket_dir)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fname in sorted(os.listdir(os.path.join(staging, bucket_dir))):
-                if not fname.endswith(".parquet"):
-                    continue
-                rel = f"{bucket_dir}/{token}-{fname}"
-                os.rename(
-                    os.path.join(staging, bucket_dir, fname),
-                    os.path.join(self.data_dir, rel),
-                )
-                added.append(rel)
-        shutil.rmtree(os.path.join(self.root, "_staging", token), ignore_errors=True)
+            for fname in sorted(os.listdir(os.path.join(dest, bucket_dir))):
+                if fname.endswith(".parquet"):
+                    added.append(f"{_COMMIT_COL}={token}/{bucket_dir}/{fname}")
         return added
 
     def merge(
@@ -276,7 +305,7 @@ class LakeTable:
         resolved: DataFrame,
         app_id: str | None = None,
         epoch_id: int | None = None,
-        extra_metrics: dict[str, Any] | None = None,
+        extra_metrics: Any = None,
         touched: list[int] | None = None,
     ) -> dict[str, Any]:
         """MERGE one LWW-resolved batch (one row per key, cols: key, op,
@@ -284,9 +313,16 @@ class LakeTable:
 
         Exactly-once: if (app_id, epoch_id) was already committed the call is a
         recorded no-op. Copy-on-write: only buckets present in the batch are
-        read and rewritten. ``touched`` (bucket ids present in the batch) can
-        be supplied by callers that already computed it (apply's one-pass
-        metrics) to skip the extra distinct job.
+        read and rewritten; ``touched`` (bucket ids present in the batch) can
+        be supplied by callers that already computed it, else a distinct job
+        derives it. Merge-on-read never needs ``touched`` up front — the
+        appended file paths name the buckets, so a MOR epoch is a SINGLE
+        Spark action end-to-end.
+
+        ``extra_metrics`` may be a dict, or a zero-arg callable evaluated
+        after the data write and before the log commit — the hook that lets
+        apply_events_batch ride its lineage on an Observation of the write
+        job instead of a separate aggregation action.
         """
         st = self._state()
         if epoch_id is not None and (app_id, epoch_id) in st.committed_epochs:
@@ -302,7 +338,7 @@ class LakeTable:
         payload_names = [f.name for f in physical.fields if f.name not in {*KEY_COLS, "ts", *HIDDEN_COLS}]
 
         batch = resolved.withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
-        if touched is None:
+        if touched is None and st.mode != "mor":
             touched = [r[0] for r in batch.select(_BUCKET_COL).distinct().collect()]
 
         # Enforce the physical schema on every batch column (callers may hand
@@ -327,7 +363,13 @@ class LakeTable:
             # write cost O(batch), independent of table size. Cross-epoch
             # conflicts resolve at read/compaction time by the same stamps.
             out = self._events_to_physical(batch_ev, payload_names, st.n_buckets)
-            added = self._write_data(out, st.n_buckets, n_touched=len(touched))
+            added = self._write_data(
+                out,
+                st.n_buckets,
+                n_touched=len(touched) if touched is not None else None,
+            )
+            if touched is None:  # free: the written paths name the buckets
+                touched = sorted({_bucket_of(f) for f in added})
             removed: list[str] = []
         else:
             # Copy-on-write: old rows of touched buckets become pseudo-events
@@ -348,9 +390,11 @@ class LakeTable:
             merged = resolve_lww(existing_ev.unionByName(batch_ev))
             out = self._events_to_physical(merged, payload_names, st.n_buckets)
             added = self._write_data(out, st.n_buckets, n_touched=len(touched))
-            removed_set = {f"{_BUCKET_COL}={b}" for b in touched}
-            removed = [f for f in st.live_files if f.split("/")[0] in removed_set]
+            removed_set = set(touched)
+            removed = [f for f in st.live_files if _bucket_of(f) in removed_set]
 
+        if callable(extra_metrics):  # post-write hook (Observation results)
+            extra_metrics = extra_metrics()
         metrics = {"buckets_touched": len(touched), **(extra_metrics or {})}
         self.log.commit(
             Commit(
@@ -376,19 +420,19 @@ class LakeTable:
         columns keep cross-epoch LWW exact; deletes become tombstones with
         blanked payload (so a stale update can never resurrect a turn).
         """
-        out = events.select(
+        deleted = F.col("op") == F.lit("delete")
+        return events.select(
             *KEY_COLS,
-            *payload_names,
+            *[
+                F.when(deleted, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in payload_names
+            ],
             F.col("ts"),
             F.col("ts").alias("_ts"),
             F.col("seq").alias("_seq"),
-            (F.col("op") == F.lit("delete")).alias("_deleted"),
-        ).withColumn(_BUCKET_COL, _bucket_expr(n_buckets))
-        for c in payload_names:
-            out = out.withColumn(
-                c, F.when(F.col("_deleted"), F.lit(None)).otherwise(F.col(c))
-            )
-        return out
+            deleted.alias("_deleted"),
+            _bucket_expr(n_buckets).alias(_BUCKET_COL),
+        )
 
     # ------------------------------------------------------------- compaction
     #: MOR generations per bucket tolerated before auto-compaction.
@@ -397,9 +441,8 @@ class LakeTable:
     def _files_per_bucket(self, live_files: list[str]) -> dict[int, int]:
         counts: dict[int, int] = {}
         for f in live_files:
-            head = f.split("/")[0]
-            if head.startswith(f"{_BUCKET_COL}="):
-                b = int(head.split("=")[1])
+            b = _bucket_of(f)
+            if b is not None:
                 counts[b] = counts.get(b, 0) + 1
         return counts
 
@@ -422,8 +465,8 @@ class LakeTable:
         counts = self._files_per_bucket(st.live_files)
         if buckets is None:
             buckets = [b for b, n in counts.items() if n > 1]
-        want = {f"{_BUCKET_COL}={b}" for b in buckets}
-        files = [f for f in st.live_files if f.split("/")[0] in want]
+        want = set(buckets)
+        files = [f for f in st.live_files if _bucket_of(f) in want]
         if not files:
             return {"compacted_buckets": 0, "files_removed": 0}
         physical = T.StructType.fromJson(st.schema)
@@ -473,15 +516,16 @@ class LakeTable:
         st = self._state()
         live = set(st.live_files)
         removed = 0
-        for bucket_dir in os.listdir(self.data_dir):
-            bd = os.path.join(self.data_dir, bucket_dir)
-            if not os.path.isdir(bd):
-                continue
-            for fname in os.listdir(bd):
-                rel = f"{bucket_dir}/{fname}"
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            for fname in filenames:
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, self.data_dir)
                 if rel not in live:
-                    os.unlink(os.path.join(bd, fname))
-                    removed += 1
+                    os.unlink(full)  # incl. _SUCCESS markers — never live
+                    if fname.endswith(".parquet"):
+                        removed += 1
+            if dirpath != self.data_dir and not os.listdir(dirpath):
+                os.rmdir(dirpath)  # reclaim emptied commit/bucket dirs
         return removed
 
     def history(self) -> list[dict]:

@@ -16,6 +16,7 @@ Reference parity notes sit on each query; SURVEY.md §2 maps operators O1-O25.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -137,14 +138,23 @@ def q_cdc_apply_epochs(spark, sf_dir):
         tempfile.gettempdir(), f"cdc-apply-{uuid.uuid4().hex[:8]}"
     )
     table = LakeTable.create(spark, root, schema, n_buckets=8)
-    for e in range(4):
-        apply_events_batch(
-            table,
-            ev.filter(F.col("epoch") == e).drop("epoch"),
-            app_id="driver-check",
-            epoch_id=e,
-        )
-    return table.read()
+    try:
+        for e in range(4):
+            apply_events_batch(
+                table,
+                ev.filter(F.col("epoch") == e).drop("epoch"),
+                app_id="driver-check",
+                epoch_id=e,
+            )
+        # Materialize before deleting the table dir — repeated driver/bench
+        # invocations must leave no /tmp/cdc-apply-* residue. Row volume is
+        # one row per surviving key at check scale (hundreds to low
+        # thousands); the round-trip is what makes the cleanup safe.
+        out = table.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 _CDC_APPLY_ORACLE = (

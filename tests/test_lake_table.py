@@ -104,8 +104,10 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_table_root):
     t.merge(resolve_lww(spark.createDataFrame(one)), app_id="t", epoch_id=1)
     files_after = set(t._state().live_files)
 
-    changed_dirs = {f.split("/")[0] for f in files_before ^ files_after}
-    assert len(changed_dirs) == 1  # exactly the one bucket conv-000000 hashes to
+    from investigraph_etl_spark.lake.table import _bucket_of
+
+    changed_buckets = {_bucket_of(f) for f in files_before ^ files_after}
+    assert len(changed_buckets) == 1  # exactly the one bucket conv-000000 hashes to
     # untouched buckets kept their physical files
     assert len(files_before & files_after) > 0
 
