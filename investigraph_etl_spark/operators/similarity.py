@@ -217,28 +217,16 @@ def lsh_neighbors(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # single-join gather: candidates explode to member ids, the embedding
-    # table joins ONCE, and a groupBy reassembles (va, vb) per pair.
-    member = cand.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("mid")
-    )
-    vecs = emb.select(F.col(id_col).alias("mid"), F.col(vec_col).alias("v"))
-    gathered = (
-        member.join(vecs, "mid")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first(
-                F.when(F.col("mid") == F.col("id_a"), F.col("v")), ignorenulls=True
-            ).alias("va"),
-            F.first(
-                F.when(F.col("mid") == F.col("id_b"), F.col("v")), ignorenulls=True
-            ).alias("vb"),
-        )
-    )
+    # verify: two hash joins pulling each member's vector — broadcast-able
+    # when the embedding relation fits (candidates then never carry vectors
+    # through an exchange; see dedup._verify_jaccard for the measurement
+    # behind this shape).
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        gathered.select(
-            "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos")
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

@@ -26,7 +26,10 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from investigraph_etl_spark.cdc.resolve import resolve_lww
+from investigraph_etl_spark.functions import dates as _DT
 from investigraph_etl_spark.functions import text as X
+
+DT_LENIENT_SQL = _DT.lenient_to_date_sql("raw")
 from investigraph_etl_spark.operators import dedup as D
 from investigraph_etl_spark.operators import multimodal as M
 from investigraph_etl_spark.operators import similarity as S
@@ -406,6 +409,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_lenient_dates(spark, sf_dir):
+    """Tolerant multi-format date parsing (reference: dateparser at
+    /root/reference/investigraph/model/source.py:25-27; here a Catalyst
+    try_to_timestamp coalesce chain — functions/dates.py). Each order's date
+    is rendered in one of three wire formats by key, then recovered."""
+    from investigraph_etl_spark.functions import dates as DT
+
+    o = _t(spark, sf_dir, "orders")
+    wire = (
+        F.when(
+            F.pmod("o_orderkey", F.lit(3)) == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .when(
+            F.pmod("o_orderkey", F.lit(3)) == 1,
+            F.date_format("o_orderdate", "dd/MM/yyyy"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+    )
+    out = o.select("o_orderkey", wire.alias("raw"))
+    return out.select(
+        "o_orderkey",
+        "raw",
+        DT.lenient_to_date(F.col("raw")).alias("parsed"),
+    )
+
+
+_LENIENT_DATES_ORACLE = f"""
+WITH wire AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 3
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+           ELSE strftime(o_orderdate, '%Y%m%d')
+         END AS raw
+  FROM orders
+)
+SELECT o_orderkey, raw, {DT_LENIENT_SQL} AS parsed FROM wire
+"""
+
+
 def q_json_props(spark, sf_dir):
     """JSON fns (reference serializes records as JSON,
     /root/reference/investigraph/pipeline.py:153-154): extract props.k."""
@@ -476,6 +520,31 @@ def q_filter_declarative(spark, sf_dir):
 _FILTER_ORACLE = """
 SELECT doc_id, lang, source FROM documents
 WHERE lang = 'en' AND NOT source = 'src0'
+"""
+
+
+def q_frame_ops(spark, sf_dir):
+    """O5 declarative frame-op playbook (reference pandas operations,
+    /root/reference/tests/fixtures/ec_meetings/config.yml:28-35): the YAML op
+    list compiles to Catalyst transforms (config.compile_frame_op). Chain:
+    drop text → distinct (lang, source) pairs → rename → typed count col."""
+    from investigraph_etl_spark.config import apply_frame_ops
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    out = apply_frame_ops(
+        docs,
+        [
+            {"handler": "DataFrame.drop", "options": {"columns": "n_chars"}},
+            {"handler": "DataFrame.drop_duplicates"},
+            {"handler": "DataFrame.rename", "options": {"columns": {"lang": "language"}}},
+            {"handler": "DataFrame.query", "options": {"expr": "source != 'src0'"}},
+        ],
+    )
+    return out
+
+
+_FRAME_OPS_ORACLE = """
+SELECT DISTINCT lang AS language, source FROM documents WHERE source != 'src0'
 """
 
 
@@ -714,8 +783,10 @@ QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "json_props": q_json_props,
     "keygen_sha": q_keygen_sha,
+    "lenient_dates": q_lenient_dates,
     "project_split_explode": q_project_split_explode,
     "filter_declarative": q_filter_declarative,
+    "frame_ops": q_frame_ops,
     "limit_preview": q_limit_preview,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -750,8 +821,10 @@ ORACLES = {
     "tumbling_hourly": _TUMBLING_ORACLE,
     "json_props": _JSON_PROPS_ORACLE,
     "keygen_sha": _KEYGEN_ORACLE,
+    "lenient_dates": _LENIENT_DATES_ORACLE,
     "project_split_explode": _SPLIT_EXPLODE_ORACLE,
     "filter_declarative": _FILTER_ORACLE,
+    "frame_ops": _FRAME_OPS_ORACLE,
     "limit_preview": _LIMIT_ORACLE,
     "text_quality": _TEXT_QUALITY_ORACLE,
     "text_langid": _TEXT_LANGID_ORACLE,

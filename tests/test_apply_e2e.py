@@ -106,3 +106,30 @@ def test_e2e_schema_evolution_mid_stream(spark, tmp_path):
     assert (got_tokens.isna() == want_tokens.isna()).all()
     both = got_tokens.notna()
     assert (got_tokens[both].astype("int64") == want_tokens[both].astype("int64")).all()
+
+
+def test_lineage_parity_across_apply_paths(spark, tmp_path):
+    """The one-action MOR path (per-bucket lineage via Observation riding the
+    write job) and the two-action COW path (separate lineage aggregation) must
+    emit IDENTICAL _metrics rows for the same tail — lineage semantics are a
+    property of the data, not of the physical apply strategy."""
+    ev = generate_events(GeneratorConfig(n_events=4000, seed=11, n_epochs=3))
+
+    def metrics_of(mode, root):
+        table = LakeTable.create(
+            spark, root, TRANSCRIPT_SCHEMA, n_buckets=8, mode=mode
+        )
+        for epoch, part in ev.groupby("epoch", sort=True):
+            batch = spark.createDataFrame(part.drop(columns=["epoch"]))
+            apply_events_batch(table, batch, app_id="par", epoch_id=int(epoch))
+        return (
+            read_metrics(table)
+            .toPandas()
+            .sort_values(["epoch_id", "bucket"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    mor = metrics_of("mor", str(tmp_path / "mor"))
+    cow = metrics_of("cow", str(tmp_path / "cow"))
+    pd.testing.assert_frame_equal(mor, cow, check_dtype=False)
+    assert (mor["events_applied"] > 0).any()

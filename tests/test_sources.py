@@ -180,6 +180,30 @@ def test_frame_ops_vocabulary(spark):
         apply_frame_ops(df, [{"handler": "DataFrame.eval"}])
 
 
+def test_lenient_date_parsing(spark):
+    from pyspark.sql import functions as F
+
+    from investigraph_etl_spark.functions.dates import lenient_to_date
+
+    df = spark.createDataFrame(
+        [
+            ("2021-03-04",),
+            ("04.03.2021",),
+            ("04/03/2021",),   # day-first wins over US month-first
+            ("20210304",),
+            ("2021-03-04 10:11:12",),
+            ("not a date",),
+            (None,),
+        ],
+        ["raw"],
+    )
+    got = [r.d for r in df.select(lenient_to_date(F.col("raw")).alias("d")).collect()]
+    import datetime as dt
+
+    want = dt.date(2021, 3, 4)
+    assert got == [want, want, want, want, want, None, None]
+
+
 def test_deep_merge_reference_semantics():
     # lists concatenate; False/0/"" survive; None/{}/[] are skipped
     base = {"sources": [{"a": 1}], "flag": True, "keep": "x"}
