@@ -13,6 +13,7 @@ top-k in :mod:`investigraph_etl_spark.operators.similarity`.
 
 from __future__ import annotations
 
+import pandas  # noqa: F401 — annotation target for pandas_udf type inference
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -59,3 +60,28 @@ def cosine_sql(a: str, b: str) -> str:
         f"CASE WHEN ({na}) > 0 AND ({nb}) > 0 "
         f"THEN ({d}) / (({na}) * ({nb})) ELSE 0.0 END"
     )
+
+
+def cosine_batch_udf():
+    """Vectorized (Arrow/numpy) cosine — the PRODUCTION kernel for verify
+    stages that score many candidate pairs. Catalyst higher-order lambdas run
+    interpreted (~µs per element); numpy row-block einsum is ~100× cheaper
+    per pair. NOT for oracle faces: numpy's pairwise/SIMD summation rounds
+    differently from the sequential fold the DuckDB twin reproduces (values
+    agree to ~1 ulp, which a value-hash does not forgive).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(va: "pandas.Series", vb: "pandas.Series") -> "pandas.Series":
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        d = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        denom = na * nb
+        out = np.where(denom > 0, d / np.where(denom > 0, denom, 1.0), 0.0)
+        return pandas.Series(out)
+
+    return _cos

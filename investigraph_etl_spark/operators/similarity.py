@@ -158,8 +158,14 @@ def lsh_neighbors(
     probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify_kernel: str = "catalyst",
 ) -> DataFrame:
     """Banded multi-table sign-LSH pairs verified by exact cosine >= threshold.
+
+    ``verify_kernel``: "catalyst" (sequential-fold array lambdas — the
+    oracle-parity kernel, bit-identical to DuckDB) or "numpy" (Arrow-batched
+    vectorized einsum — the production kernel; same pairs, scores differ by
+    ~1 ulp from summation order).
 
     Each vector lands in one bucket per table (``n_tables`` independent plane
     sets of ``n_planes`` bits — see the geometry note on N_TABLES above); the
@@ -223,10 +229,14 @@ def lsh_neighbors(
     # behind this shape).
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if verify_kernel == "numpy":
+        cos = V.cosine_batch_udf()(F.col("va"), F.col("vb"))
+    else:
+        cos = V.cosine(F.col("va"), F.col("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

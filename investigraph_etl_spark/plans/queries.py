@@ -867,4 +867,12 @@ PROD_QUERIES = {
     "text_fingerprint": lambda spark, sf_dir: _t(spark, sf_dir, "documents").select(
         "doc_id", X.fingerprint64(F.col("text")).alias("fp")
     ),
+    # LSH verify with the vectorized numpy cosine (same pairs; the Catalyst
+    # sequential fold exists for the oracle's bit-exact scores)
+    "ann_lsh": lambda spark, sf_dir: S.lsh_neighbors(
+        _t(spark, sf_dir, "embeddings"), verify_kernel="numpy", **_LSH_SMALL
+    ),
+    "dedup_embedding": lambda spark, sf_dir: S.embedding_neardup(
+        _t(spark, sf_dir, "embeddings"), verify_kernel="numpy", **_LSH_SMALL
+    ),
 }

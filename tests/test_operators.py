@@ -244,6 +244,22 @@ def _bruteforce_pairs(emb, threshold):
     }
 
 
+def test_lsh_numpy_verify_matches_catalyst(spark, emb):
+    """The production (numpy einsum) verify kernel must select the SAME pairs
+    as the oracle-parity sequential fold, with scores equal to ~1 ulp."""
+    cat = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.lsh_neighbors(emb, **_SMALL).collect()
+    }
+    np_ = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.lsh_neighbors(emb, verify_kernel="numpy", **_SMALL).collect()
+    }
+    assert set(cat) == set(np_)
+    for k in cat:
+        assert np_[k] == pytest.approx(cat[k], rel=1e-12)
+
+
 def test_lsh_is_subset_of_bruteforce(spark, emb):
     truth = _bruteforce_pairs(emb, 0.3)
     for kw in (_SMALL, dict(probe_bits=2, **_SMALL), {}):
