@@ -11,6 +11,9 @@ Usage (``python -m investigraph_etl_spark.cli <cmd> ...``)::
                                       # the CDC tail → lake MERGE pipeline
     compact  --table DIR              # MOR generation compaction
     history  --table DIR              # commit lineage (_commits view)
+    vacuum   --table DIR              # reclaim unreferenced data files
+    metadata --table DIR              # write + print index.json (O23)
+    fetch    --url URL [--cache-dir]  # conditional HTTP fetch (O2; no Spark)
 """
 
 from __future__ import annotations
@@ -48,11 +51,28 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-files-per-trigger", type=int, default=None)
     sp.add_argument("--salts", type=int, default=None)
 
-    for name in ("compact", "history", "vacuum"):
+    for name in ("compact", "history", "vacuum", "metadata"):
         sp = sub.add_parser(name)
         sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("fetch")
+    sp.add_argument("--url", required=True)
+    sp.add_argument("--cache-dir", default=None)
+    sp.add_argument("--no-cache", action="store_true")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "fetch":  # driver-side only; no Spark session needed
+        from investigraph_etl_spark.sources.http import DEFAULT_CACHE_DIR, fetch
+
+        r = fetch(
+            args.url,
+            cache_dir=args.cache_dir or DEFAULT_CACHE_DIR,
+            use_cache=not args.no_cache,
+        )
+        print(json.dumps({"path": r.path, "fetched": r.fetched, "ckey": r.ckey}))
+        return 0
+
     spark = _spark(args.cpus)
 
     if args.cmd in ("run", "extract", "inspect"):
@@ -93,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(table.compact()))
     elif args.cmd == "vacuum":
         print(json.dumps({"files_removed": table.vacuum()}))
+    elif args.cmd == "metadata":
+        print(json.dumps(table.export_metadata()))
     else:
         for c in table.history():
             print(json.dumps(c, default=str))

@@ -180,6 +180,22 @@ def test_frame_ops_vocabulary(spark):
         apply_frame_ops(df, [{"handler": "DataFrame.eval"}])
 
 
+def test_cli_fetch_conditional(http_server, tmp_path, capsys):
+    import json
+
+    from investigraph_etl_spark.cli import main as cli_main
+
+    port = http_server.server_address[1]
+    url = f"http://127.0.0.1:{port}/cli.csv"
+    _CountingHandler.store["/cli.csv"] = (b"x\n1\n", '"c1"')
+    assert cli_main(["fetch", "--url", url, "--cache-dir", str(tmp_path)]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip())
+    assert r1["fetched"] is True
+    assert cli_main(["fetch", "--url", url, "--cache-dir", str(tmp_path)]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip())
+    assert r2["fetched"] is False and r2["path"] == r1["path"]
+
+
 def test_lenient_date_parsing(spark):
     from pyspark.sql import functions as F
 
