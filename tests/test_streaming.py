@@ -114,3 +114,70 @@ def test_stream_tokens_differ_per_checkpoint(spark, tmp_path):
     b = IngestPipeline(None, "x", "y", str(tmp_path / "b"), app_id="p")
     assert a.commit_token != b.commit_token
     assert a.commit_token == IngestPipeline(None, "x", "y", str(tmp_path / "a"), app_id="p").commit_token
+
+
+def test_stream_schema_evolution_on_restart(spark, tmp_path):
+    """North-star additive schema evolution, streaming form: a tail whose
+    later epochs carry NEW columns (tool metadata) is ingested in two stream
+    runs sharing one checkpoint — run 2 restarts with the WIDENED event
+    schema, reads only the new files, the table schema widens on commit, and
+    pre-evolution rows surface the new columns as nulls."""
+    from pyspark.sql import types as T
+
+    from investigraph_etl_spark.cdc.events import CHANGE_EVENT_SCHEMA
+
+    base = generate_events(GeneratorConfig(n_events=1500, seed=31, n_epochs=2))
+    evolved = generate_events(
+        GeneratorConfig(n_events=1500, seed=32, n_epochs=2, evolve_from_epoch=0)
+    )
+    evolved["seq"] += 10_000_000
+    evolved["conv_id"] = evolved["conv_id"].str.replace("conv-", "conv-evo-")
+
+    landing = str(tmp_path / "landing")
+    staging = str(tmp_path / "staging")
+    os.makedirs(landing)
+    base_paths = write_epoch_files(base, staging)
+    for p in base_paths:
+        shutil.move(p, os.path.join(landing, os.path.basename(p)))
+
+    root = str(tmp_path / "table")
+    LakeTable.create(spark, root, TRANSCRIPT_SCHEMA, n_buckets=8, mode="mor")
+    ckpt = str(tmp_path / "ckpt")
+    IngestPipeline(
+        spark, events_dir=landing, table_root=root, checkpoint_dir=ckpt
+    ).run_available_now()
+    t = LakeTable.load(spark, root)
+    assert "tool_version" not in [f.name for f in t.schema().fields]
+
+    # land the evolved epochs under later-sorting names, restart with the
+    # widened schema and the SAME checkpoint
+    for p in write_epoch_files(evolved, staging):
+        shutil.move(
+            p, os.path.join(landing, "z-" + os.path.basename(p))
+        )
+    widened = T.StructType(
+        list(CHANGE_EVENT_SCHEMA.fields)
+        + [
+            T.StructField("tool_version", T.StringType(), True),
+            T.StructField("tokens", T.IntegerType(), True),
+        ]
+    )
+    results = IngestPipeline(
+        spark,
+        events_dir=landing,
+        table_root=root,
+        checkpoint_dir=ckpt,
+        event_schema=widened,
+    ).run_available_now()
+    applied = sum(r.get("events_applied", 0) for r in results)
+    assert applied == len(evolved)  # base files were NOT re-read
+
+    t = LakeTable.load(spark, root)
+    cols = [f.name for f in t.schema().fields]
+    assert "tool_version" in cols and "tokens" in cols
+    out = t.read().toPandas()
+    pre = out[~out["conv_id"].str.startswith("conv-evo-")]
+    post = out[out["conv_id"].str.startswith("conv-evo-")]
+    assert len(pre) and len(post)
+    assert pre["tool_version"].isna().all()  # old rows: evolved cols null
+    assert post["tool_version"].notna().any()
