@@ -298,6 +298,14 @@ def read_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
     ``http(s)://`` paths are fetched through the conditional-re-read cache
     (sources/http.py — etag/last-modified keyed, the reference's O2 fetch
     semantics) and then read as local files.
+
+    Remote object-store schemes (the reference accepts any fsspec URI,
+    /root/reference/investigraph/logic/seed.py:14-23): ``s3a://``/``gs://``/
+    ``abfs://`` paths pass straight to ``spark.read`` and resolve through
+    Hadoop FileSystem connectors — the standard Spark deployment ships these
+    via ``spark-submit --packages org.apache.hadoop:hadoop-aws...``; this
+    sandbox has no connector jars, so such URIs fail in Spark with "No
+    FileSystem for scheme" (nothing engine-side to add).
     """
     path = source["path"]
     if path.startswith(("http://", "https://")):
