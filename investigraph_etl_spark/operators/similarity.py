@@ -51,6 +51,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify_kernel: str = "catalyst",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` ids.
 
@@ -69,11 +70,11 @@ def cosine_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
         )
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        V.cosine(F.col("qv"), F.col("nv")).alias("cos"),
-    )
+    if verify_kernel == "numpy":  # production: Arrow-batched einsum scoring
+        cos = V.cosine_batch_udf()(F.col("qv"), F.col("nv"))
+    else:  # oracle-parity: sequential fold, bit-identical to DuckDB
+        cos = V.cosine(F.col("qv"), F.col("nv"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
@@ -273,6 +274,136 @@ FROM cand c
 JOIN {table} va ON va.{id_col} = c.id_a
 JOIN {table} vb ON vb.{id_col} = c.id_b
 WHERE {cos} >= {threshold}
+"""
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    verify_kernel: str = "catalyst",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer → per-list search.
+
+    The second ANN scale path next to sign-LSH. Structure (classic IVF):
+
+    1. **Coarse quantizer**: ``n_centroids`` centroid vectors — here a
+       deterministic sample (the first ``n_centroids`` ids) rather than a
+       trained k-means codebook, so both engines build the identical
+       quantizer; swap in trained centroids per deployment without touching
+       the plan shape.
+    2. **Assignment** (one pass, centroids broadcast): every vector joins its
+       max-cosine centroid → the inverted lists, a (vector → list) mapping
+       partitioned by centroid id.
+    3. **Probe**: each query scores the same centroids and searches only its
+       ``nprobe`` closest lists; candidates = members of probed lists.
+    4. Exact cosine + per-query top-k window over the candidates.
+
+    At 10^10 vectors the costs are: one broadcast pass for assignment
+    (C ≈ 2^10-2^16 centroids), a probe shuffle keyed by centroid id, and
+    per-query work proportional to nprobe/n_centroids of the corpus —
+    never all-pairs. Recall < 1 (misses neighbors assigned to unprobed
+    lists); :func:`cosine_topk` is the exact baseline.
+
+    Output: (query_id, neighbor_id, cos, rank), rank 1..k.
+    """
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+    def best_lists(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent)).select(
+            F.col(sid),
+            "cid",
+            V.cosine(F.col(svec), F.col("cv")).alias("ac"),
+        )
+        w = Window.partitionBy(sid).orderBy(F.desc("ac"), F.asc("cid"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n)
+            .select(sid, "cid")
+        )
+
+    assign = best_lists(
+        emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nid",
+        "nv",
+        1,
+    )
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = best_lists(q.withColumnRenamed("qv", "pv"), "query_id", "pv", nprobe)
+
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select("query_id", F.col("nid").alias("neighbor_id"))
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = cand.join(F.broadcast(q), "query_id").join(nv, "neighbor_id")
+    if verify_kernel == "numpy":
+        cos = V.cosine_batch_udf()(F.col("qv"), F.col("nv"))
+    else:
+        cos = V.cosine(F.col("qv"), F.col("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = V.cosine_sql("q.qv", "n.nv")
+    return f"""
+WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS cv FROM {table}
+              WHERE {id_col} < {n_centroids}),
+assign AS (
+  SELECT sid AS nid, cid FROM (
+    SELECT s.{id_col} AS sid, c.cid,
+           row_number() OVER (PARTITION BY s.{id_col}
+                              ORDER BY {V.cosine_sql(f's.{vec_col}', 'c.cv')} DESC,
+                                       c.cid ASC) AS r
+    FROM {table} s CROSS JOIN cent c
+  ) WHERE r = 1
+),
+q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table}
+      WHERE {id_col} < {n_queries}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {V.cosine_sql('q.qv', 'c.cv')} DESC,
+                                       c.cid ASC) AS r
+    FROM q CROSS JOIN cent c
+  ) WHERE r <= {nprobe}
+),
+n AS (SELECT {id_col} AS neighbor_id, {vec_col} AS nv FROM {table}),
+scored AS (
+  SELECT p.query_id, a.nid AS neighbor_id, {cos} AS cos
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid AND a.nid != p.query_id
+  JOIN q ON q.query_id = p.query_id
+  JOIN n ON n.neighbor_id = a.nid
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
 """
 
 

@@ -683,6 +683,13 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_neighbors(_t(spark, sf_dir, "embeddings"), **_LSH_SMALL)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (the second scale path next to sign-LSH): sampled coarse
+    quantizer → inverted-list probe → exact rescore."""
+    out = S.ivf_topk(_t(spark, sf_dir, "embeddings"))
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ============================================================== multimodal ===
 
 
@@ -799,6 +806,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_metadata": q_multimodal_metadata,
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "asof_last_click": q_asof_last_click,
@@ -837,6 +845,7 @@ ORACLES = {
     "dedup_embedding": S.embedding_neardup_sql(**_LSH_SMALL),
     "ann_topk": S.cosine_topk_sql(),
     "ann_lsh": S.lsh_neighbors_sql(**_LSH_SMALL),
+    "ann_ivf": S.ivf_topk_sql(),
     "multimodal_metadata": M.media_metadata_sql(),
     "pivot_user_event_counts": _PIVOT_ORACLE,
     "asof_last_click": _ASOF_ORACLE,
@@ -874,5 +883,11 @@ PROD_QUERIES = {
     ),
     "dedup_embedding": lambda spark, sf_dir: S.embedding_neardup(
         _t(spark, sf_dir, "embeddings"), verify_kernel="numpy", **_LSH_SMALL
+    ),
+    "ann_topk": lambda spark, sf_dir: S.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), verify_kernel="numpy"
+    ),
+    "ann_ivf": lambda spark, sf_dir: S.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), verify_kernel="numpy"
     ),
 }

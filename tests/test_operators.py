@@ -244,6 +244,31 @@ def _bruteforce_pairs(emb, threshold):
     }
 
 
+def test_ivf_topk_oracle_parity_and_recall(spark, emb, duck):
+    got = _assert_matches(S.ivf_topk(emb), duck, S.ivf_topk_sql())
+    # each query returns exactly k ranked candidates, ranks contiguous
+    by_q = {}
+    for q, n, cos, rank in got:
+        by_q.setdefault(q, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # recall@10 vs the exact baseline: probing 4/16 lists must still find a
+    # fair share of true neighbors (sanity bound, not a tuned figure)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.cosine_topk(emb).collect()
+    }
+    approx = {(q, n) for q, n, _, _ in got}
+    assert len(approx & exact) / len(exact) >= 0.3
+    # probing ALL lists with k=corpus reduces to the exact baseline's top-k
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_topk(emb, n_centroids=8, nprobe=8).collect()
+    }
+    base = {
+        (r.query_id, r.neighbor_id, r.rank) for r in S.cosine_topk(emb).collect()
+    }
+    assert full == base
+
+
 def test_lsh_numpy_verify_matches_catalyst(spark, emb):
     """The production (numpy einsum) verify kernel must select the SAME pairs
     as the oracle-parity sequential fold, with scores equal to ~1 ulp."""
