@@ -2,11 +2,12 @@
 
 The engine treats media as what it is at 100 TB: an opaque byte column riding
 next to typed metadata, decoded only inside Arrow-batched Python
-(``mapInPandas``) where a codec library would run. In this container the codec
-libraries don't exist, so the *decode* step is a deterministic byte-level
-feature extractor (clearly marked) / a ``NotImplementedError`` stub — but the
-Spark-side plumbing that the judge grades (schema, partition-preserving
-mapInPandas, Arrow batch shape, binary-safe exchange) is real and tested.
+(``mapInPandas``) where the codec runs. The codec here is REAL and in-repo:
+binary netpbm (P6 "PPM"), a genuine interchange format with an ASCII header +
+raw RGB bytes, parsed/encoded with numpy alone — so decode, feature-extract,
+resize, and frame-sample all run end-to-end on actual image bytes in this
+container. Heavier codecs (JPEG/PNG/MP4) slot into the same mapInPandas
+signatures by swapping the per-batch decode function for PIL/pyav.
 
 Scale notes: mapInPandas is a narrow transformation — no shuffle; batches
 arrive as Arrow record batches sized by ``spark.sql.execution.arrow
@@ -107,11 +108,13 @@ FROM {table}
 """
 
 
-# ----------------------------------------------------------------- real codecs
-
-#: STUB — real decoders need codec libraries absent from this container.
-#: Each stub pins the exact mapInPandas signature + schema a deployment
-#: implements; calling one raises with instructions.
+# ------------------------------------------------------------------- codecs
+# A REAL image codec, implemented in-repo: netpbm binary formats (P6 = RGB
+# "PPM", P5 = grayscale "PGM") are actual interchange formats with a trivial
+# container (ASCII header + raw bytes), so decode / feature-extract / resize /
+# frame-sample run end-to-end on genuine image bytes with nothing but numpy.
+# Heavier codecs (JPEG/PNG/MP4) slot into the same mapInPandas signatures by
+# swapping the per-batch decode function for PIL/pyav.
 
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -119,7 +122,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
-        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
     ]
 )
 
@@ -133,21 +138,204 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def _ppm_encode(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6)."""
+    return f"P6 {width} {height} 255\n".encode() + pixels.tobytes()
+
+
+def _ppm_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode one binary PPM (P6). Returns (width, height, (H, W, 3) uint8).
+
+    Minimal-but-real parser: single-whitespace-separated header tokens as
+    produced by :func:`_ppm_encode` and common tooling; maxval must be 255.
+    """
+    head, raw = buf.split(b"\n", 1)
+    magic, w, h, maxval = head.split(b" ")
+    if magic != b"P6" or int(maxval) != 255:
+        raise ValueError(f"unsupported netpbm payload: {magic!r}/{maxval!r}")
+    w, h = int(w), int(h)
+    px = np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+    return w, h, px
+
+
+def image_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic synthetic image geometry per doc (4-16 × 3-9)."""
+    return 4 + doc_id % 13, 3 + doc_id % 7
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL (binary PPM) image payload per doc — deterministic pixel
+    bytes ``(doc_id*7 + i*13) % 256`` so the decode features are independently
+    reproducible (incl. by the DuckDB oracle). Encoding runs vectorized in
+    Arrow batches, like an image-ingest stage would."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_type", T.StringType(), False),
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                w, h = image_dims(int(doc_id))
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((int(doc_id) * 7 + i * 13) % 256).astype(np.uint8)
+                payloads.append(_ppm_encode(w, h, px.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_encode, schema=out_schema)
+
+
 def decode_images(media: DataFrame) -> DataFrame:
-    """STUB: image decode + feature extraction (``payload -> width/height/
-    features``) as mapInPandas over Arrow binary batches."""
-    raise NotImplementedError(
-        "image codecs are not installed in this container; implement as "
-        "media.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA) with fn decoding "
-        "pdf['payload'] via PIL/opencv per Arrow batch"
-    )
+    """Image decode + feature extraction over Arrow binary batches: parse the
+    netpbm container, return geometry + per-channel means. One narrow
+    mapInPandas stage — payloads never leave the executor."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, px = _ppm_decode(bytes(payload))
+                means = px.reshape(-1, 3).astype(np.int64).sum(axis=0) / (w * h)
+                rows.append((int(doc_id), w, h, *map(float, means)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB: video frame sampling (1 input row -> N frame rows) as mapInPandas
-    over Arrow binary batches (generator may yield multiple frames per input)."""
-    raise NotImplementedError(
-        "video codecs are not installed in this container; implement as "
-        "media.mapInPandas(fn, schema=FRAME_SAMPLE_SCHEMA) with fn demuxing "
-        "pdf['payload'] via pyav/ffmpeg per Arrow batch"
+def decode_images_sql(table: str = "documents") -> str:
+    """DuckDB twin of with_image_payload → decode_images: rebuilds the same
+    deterministic pixel function and averages per channel (integer sums are
+    exact; the final division is the identical double op in both engines)."""
+    w = f"(4 + doc_id % 13)"
+    h = f"(3 + doc_id % 7)"
+    def mean(ch: int) -> str:
+        # pixel p channel ch lives at byte index 3p+ch; value (doc_id*7 + i*13) % 256
+        return (
+            f"(list_sum(list_transform(generate_series(0, {w}*{h} - 1), "
+            f"p -> (doc_id*7 + (3*p + {ch})*13) % 256)))::DOUBLE / ({w}*{h})"
+        )
+    return f"""
+SELECT doc_id, {w}::INTEGER AS width, {h}::INTEGER AS height,
+       {mean(0)} AS mean_r, {mean(1)} AS mean_g, {mean(2)} AS mean_b
+FROM {table}
+"""
+
+
+def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """Nearest-neighbor resize, payload → payload (binary PPM in and out) —
+    the shape of every GPU-feeding image-prep stage: decode, transform in
+    numpy, re-encode, all inside one Arrow batch."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_type", T.StringType(), False),
+        ]
     )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                w, h, px = _ppm_decode(bytes(payload))
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = px[ys][:, xs]
+                payloads.append(_ppm_encode(out_w, out_h, small))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=out_schema)
+
+
+def with_video_payload(docs: DataFrame, n_frames: int = 6, fps: int = 2) -> DataFrame:
+    """Attach a raw video stand-in: ``n_frames`` concatenated binary PPM
+    frames (the structure of y4m/raw pipes), frame f's pixels derived from
+    (doc_id, f)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("fps", T.IntegerType(), False),
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                w, h = image_dims(int(doc_id))
+                frames = []
+                for f in range(n_frames):
+                    i = np.arange(w * h * 3, dtype=np.int64)
+                    px = ((int(doc_id) * 7 + f * 31 + i * 13) % 256).astype(np.uint8)
+                    frames.append(_ppm_encode(w, h, px.reshape(h, w, 3)))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "n_frames": n_frames,
+                    "fps": fps,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_encode, schema=out_schema)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video frame sampling: demux the concatenated-PPM stream and emit every
+    ``every_nth`` frame as its own row (1 input row → N output rows — the
+    mapInPandas generator shape any real demuxer uses), with a presentation
+    timestamp from the container's fps."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, fps in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"], pdf["fps"]
+            ):
+                buf = bytes(payload)
+                idx = off = 0
+                while off < len(buf):
+                    # header "P6 w h 255\n" then w*h*3 bytes
+                    nl = buf.index(b"\n", off)
+                    _, w, h, _ = buf[off:nl].split(b" ")
+                    end = nl + 1 + int(w) * int(h) * 3
+                    if idx % every_nth == 0:
+                        rows.append(
+                            (
+                                int(doc_id),
+                                idx,
+                                buf[off:end],
+                                int(idx * 1000 / int(fps)),
+                            )
+                        )
+                    off = end
+                    idx += 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame", "pts_ms"]
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)

@@ -698,6 +698,14 @@ def q_multimodal_metadata(spark, sf_dir):
     return M.extract_media_metadata(media)
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Real image decode: binary PPM payloads (in-repo netpbm codec) through
+    Arrow-batched mapInPandas → geometry + per-channel means; the oracle
+    rebuilds the deterministic pixels and averages in SQL."""
+    media = M.with_image_payload(_t(spark, sf_dir, "documents"))
+    return M.decode_images(media)
+
+
 
 
 def q_pivot_user_event_counts(spark, sf_dir):
@@ -808,6 +816,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_decode": q_multimodal_decode,
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "asof_last_click": q_asof_last_click,
 }
@@ -847,6 +856,7 @@ ORACLES = {
     "ann_lsh": S.lsh_neighbors_sql(**_LSH_SMALL),
     "ann_ivf": S.ivf_topk_sql(),
     "multimodal_metadata": M.media_metadata_sql(),
+    "multimodal_decode": M.decode_images_sql(),
     "pivot_user_event_counts": _PIVOT_ORACLE,
     "asof_last_click": _ASOF_ORACLE,
 }

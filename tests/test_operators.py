@@ -303,9 +303,41 @@ def test_multimodal_metadata_oracle_parity(spark, docs, duck):
     _assert_matches(M.extract_media_metadata(media), duck, M.media_metadata_sql())
 
 
-def test_multimodal_stubs_raise(spark, docs):
-    media = M.with_binary_payload(docs)
-    with pytest.raises(NotImplementedError):
-        M.decode_images(media)
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(media)
+def test_image_decode_roundtrip_and_oracle_parity(spark, docs, duck):
+    media = M.with_image_payload(docs)
+    _assert_matches(M.decode_images(media), duck, M.decode_images_sql())
+
+
+def test_resize_images_roundtrip(spark, docs):
+    media = M.with_image_payload(docs.limit(50))
+    small = M.resize_images(media, out_w=2, out_h=2)
+    decoded = {r.doc_id: (r.width, r.height) for r in M.decode_images(small).collect()}
+    assert decoded and all(v == (2, 2) for v in decoded.values())
+    # resized pixels are a subset of the original's (nearest-neighbor)
+    one = media.filter(F.col("doc_id") == 1).collect()[0]
+    import numpy as np
+
+    from investigraph_etl_spark.operators.multimodal import _ppm_decode
+
+    _, _, orig = _ppm_decode(bytes(one.payload))
+    rs = small.filter(F.col("doc_id") == 1).collect()[0]
+    _, _, px = _ppm_decode(bytes(rs.payload))
+    orig_set = {tuple(p) for p in orig.reshape(-1, 3)}
+    assert all(tuple(p) in orig_set for p in px.reshape(-1, 3))
+
+
+def test_sample_frames_every_nth(spark, docs):
+    media = M.with_video_payload(docs.limit(20), n_frames=6, fps=2)
+    frames = M.sample_frames(media, every_nth=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.pts_ms))
+    assert len(by_doc) == 20
+    for idxs in by_doc.values():
+        assert sorted(idxs) == [(0, 0), (2, 1000), (4, 2000)]
+    # each emitted frame is itself a decodable image
+    from investigraph_etl_spark.operators.multimodal import _ppm_decode, image_dims
+
+    r0 = next(r for r in frames if r.doc_id == 3 and r.frame_idx == 2)
+    w, h, _ = _ppm_decode(bytes(r0.frame))
+    assert (w, h) == image_dims(3)
