@@ -186,9 +186,16 @@ def run_queries(spark) -> dict[str, float]:
     names = QUERY_NAMES or list(QUERIES)
     out = {}
     for name in names:
-        t0 = time.time()
-        registry[name](spark, SF_DIR).collect()
-        out[name] = round(time.time() - t0, 3)
+        # best of 2: run 1 pays codegen + whatever CPU window the host is in
+        # (±30% drift, see BENCH.md); run 2 is the steady-state figure a
+        # resident deployment sees. Same best-of discipline as the headline.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            registry[name](spark, SF_DIR).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
