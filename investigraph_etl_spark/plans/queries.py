@@ -735,6 +735,28 @@ FROM events GROUP BY user_id
 """
 
 
+def q_rollup_pricing(spark, sf_dir):
+    """Hierarchical aggregation (ROLLUP): per (returnflag, linestatus) totals
+    plus per-returnflag and grand-total super-aggregates — the standard
+    grouping-sets surface (one pass, partial agg per grouping set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_asof_last_click(spark, sf_dir):
     """As-of join (absent in both the reference and core Spark — SURVEY
     §2.2): for each purchase event, the same user's most recent click at or
@@ -818,6 +840,7 @@ QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
     "pivot_user_event_counts": q_pivot_user_event_counts,
+    "rollup_pricing": q_rollup_pricing,
     "asof_last_click": q_asof_last_click,
 }
 
@@ -858,6 +881,7 @@ ORACLES = {
     "multimodal_metadata": M.media_metadata_sql(),
     "multimodal_decode": M.decode_images_sql(),
     "pivot_user_event_counts": _PIVOT_ORACLE,
+    "rollup_pricing": _ROLLUP_ORACLE,
     "asof_last_click": _ASOF_ORACLE,
 }
 

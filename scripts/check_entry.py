@@ -68,10 +68,14 @@ def main() -> int:
             print(f"{name:28s} SKIP (no oracle; rows-only op)")
             continue
         t0 = time.time()
+
+        def _key(row):  # None-safe total order (rollup super-aggregate rows)
+            return tuple((v is None, str(v)) for v in row)
+
         sdf = q[name](spark, sf_dir)
-        got = sorted(tuple(r) for r in sdf.collect())
+        got = sorted((tuple(r) for r in sdf.collect()), key=_key)
         res = con.sql(o[name])
-        want = sorted(tuple(r) for r in res.fetchall())
+        want = sorted((tuple(r) for r in res.fetchall()), key=_key)
         cols_ok = [c.lower() for c in sdf.columns] == [c.lower() for c in res.columns]
         stypes = {f.name.lower(): _canon_type(f.type) for f in sdf.toArrow().schema}
         otypes = {f.name.lower(): _canon_type(f.type) for f in res.arrow().schema}

@@ -62,12 +62,17 @@ def _canon_type(t) -> str:
     return str(t)
 
 
+def _row_key(row):
+    """None-safe total order (rollup super-aggregate rows carry nulls)."""
+    return tuple((v is None, str(v)) for v in row)
+
+
 @pytest.mark.parametrize("name", sorted(queries()))
 def test_query_matches_oracle(spark, duck, name):
     sdf = queries()[name](spark, SF_DIR)
-    got = sorted(tuple(r) for r in sdf.collect())
+    got = sorted((tuple(r) for r in sdf.collect()), key=_row_key)
     res = duck.sql(oracle_sql()[name])
-    want = sorted(tuple(r) for r in res.fetchall())
+    want = sorted((tuple(r) for r in res.fetchall()), key=_row_key)
     assert [c.lower() for c in sdf.columns] == [c.lower() for c in res.columns]
     stypes = {f.name.lower(): _canon_type(f.type) for f in sdf.toArrow().schema}
     otypes = {f.name.lower(): _canon_type(f.type) for f in res.arrow().schema}
