@@ -277,6 +277,84 @@ WHERE {cos} >= {threshold}
 """
 
 
+def _argmax_centroid(vec, cents):
+    """(cid, ac) struct of the max-cosine centroid for ``vec`` — a narrow
+    fold over the broadcast centroid array. ``cents`` must be sorted by cid
+    ascending so the strict-greater fold breaks ties to the LOWEST cid,
+    matching the oracle's ``ORDER BY ac DESC, cid ASC`` ranking. Cosine is
+    the order-stable sequential fold (functions/vectors.py) so the argmax is
+    bit-identical across engines."""
+    # named_struct, not struct(...).alias(...): aliases inside higher-order
+    # lambdas do not survive resolution (fields would surface as col1/col2).
+    scored = F.transform(
+        cents,
+        lambda c: F.named_struct(
+            F.lit("cid"), c["cid"], F.lit("ac"), V.cosine(vec, c["cv"])
+        ),
+    )
+    init = F.named_struct(
+        F.lit("cid"), F.lit(-1).cast("long"), F.lit("ac"), F.lit(-2.0)
+    )
+    return F.aggregate(
+        scored, init, lambda acc, s: F.when(s["ac"] > acc["ac"], s).otherwise(acc)
+    )
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means (Lloyd) trained coarse quantizer — pure DataFrame iterations.
+
+    Deterministic: seeded from the first ``n_centroids`` ids (the same
+    sampled quantizer :func:`ivf_topk` defaults to), assignment is the
+    bit-stable :func:`_argmax_centroid` fold, update is the per-dimension
+    mean (``posexplode`` → avg → re-pack). Per iteration: one narrow
+    assignment pass over the corpus + one shuffle of (cid, pos, x) rows —
+    16 B keys, C×dim output groups. Centroids are collected per iteration
+    (bounded: n_centroids × dim doubles) to cut iterative lineage growth —
+    the standard Spark pattern for small iterated state.
+
+    Returns a (cid: long, cv: array<double>) DataFrame usable as
+    ``ivf_topk(..., centroids=...)``. Empty clusters drop out (cid keeps its
+    original label; renumbering would change nothing downstream).
+    """
+    spark = emb.sparkSession
+    corpus = emb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("nv")
+    )
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    for _ in range(n_iters):
+        cent_arr = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+        # two selects, NOT one: with the argmax in the same projection as
+        # posexplode, Catalyst re-evaluates it per generated row (dim×
+        # overkill — measured 23× slower); a separate select keeps it below
+        # the Generate, once per vector.
+        assigned = corpus.crossJoin(F.broadcast(cent_arr)).select(
+            _argmax_centroid(F.col("nv"), F.col("cents"))["cid"].alias("cid"),
+            "nv",
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+            .select("cid", F.transform("ps", lambda s: s["m"]).alias("cv"))
+        )
+        rows = upd.collect()  # bounded: ≤ n_centroids rows of dim doubles
+        cent = spark.createDataFrame(rows, schema="cid long, cv array<double>")
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -286,73 +364,93 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     verify_kernel: str = "catalyst",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer → per-list search.
 
     The second ANN scale path next to sign-LSH. Structure (classic IVF):
 
-    1. **Coarse quantizer**: ``n_centroids`` centroid vectors — here a
-       deterministic sample (the first ``n_centroids`` ids) rather than a
-       trained k-means codebook, so both engines build the identical
-       quantizer; swap in trained centroids per deployment without touching
-       the plan shape.
-    2. **Assignment** (one pass, centroids broadcast): every vector joins its
-       max-cosine centroid → the inverted lists, a (vector → list) mapping
-       partitioned by centroid id.
-    3. **Probe**: each query scores the same centroids and searches only its
-       ``nprobe`` closest lists; candidates = members of probed lists.
-    4. Exact cosine + per-query top-k window over the candidates.
+    1. **Coarse quantizer**: ``n_centroids`` centroid vectors — by default a
+       deterministic sample (the first ``n_centroids`` ids) so both engines
+       build the identical quantizer (the oracle face); pass
+       ``centroids=train_centroids(...)`` for a k-means codebook (better
+       recall, same plan shape).
+    2. **Assignment**: the quantizer is collapsed to ONE broadcast row (an
+       array of (cid, cv) structs) and every corpus vector computes its
+       max-cosine centroid with a narrow fold (:func:`_argmax_centroid`).
+       The corpus is NEVER exchanged: no window, no sort, no shuffle — the
+       assignment relation (nid, nv, cid) stays on the scan partitions.
+    3. **Probe**: each query scores the same centroids and keeps its
+       ``nprobe`` closest lists. The probe relation (n_queries × nprobe
+       rows, tiny by definition) is **broadcast** into the assignment —
+       candidate generation is a broadcast-hash semi-filter of the corpus,
+       not a shuffle of it.
+    4. Exact cosine + per-query top-k window — the only exchange in the
+       whole plan, over the candidate set alone (≈ nprobe/C of the corpus
+       per query, output-proportional by IVF construction).
 
-    At 10^10 vectors the costs are: one broadcast pass for assignment
-    (C ≈ 2^10-2^16 centroids), a probe shuffle keyed by centroid id, and
-    per-query work proportional to nprobe/n_centroids of the corpus —
-    never all-pairs. Recall < 1 (misses neighbors assigned to unprobed
-    lists); :func:`cosine_topk` is the exact baseline.
+    At 10^10 vectors: one narrow pass for assignment (C ≈ 2^10-2^16
+    centroids in a broadcast array), zero corpus shuffles, per-query work
+    proportional to nprobe/n_centroids of the corpus — never all-pairs.
+    Recall < 1 (misses neighbors assigned to unprobed lists);
+    :func:`cosine_topk` is the exact baseline.
 
     Output: (query_id, neighbor_id, cos, rank), rank 1..k.
     """
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    cent = (
+        centroids.select("cid", "cv")
+        if centroids is not None
+        else emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    cent_arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
     )
 
-    def best_lists(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cent)).select(
-            F.col(sid),
-            "cid",
-            V.cosine(F.col(svec), F.col("cv")).alias("ac"),
+    # assignment: narrow fold-argmax against the one-row broadcast centroid
+    # array; keeps nv in flight (no exchange touches it) so the verify needs
+    # no second corpus join.
+    assign = (
+        fanout(emb)
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "nid",
+            "nv",
+            _argmax_centroid(F.col("nv"), F.col("cents"))["cid"].alias("cid"),
         )
-        w = Window.partitionBy(sid).orderBy(F.desc("ac"), F.asc("cid"))
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= n)
-            .select(sid, "cid")
-        )
-
-    assign = best_lists(
-        emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
-        "nid",
-        "nv",
-        1,
     )
+
+    # probes: tiny by definition (n_queries rows × C centroids) — a ranking
+    # window here is driver-noise; the result is broadcast.
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    probes = best_lists(q.withColumnRenamed("qv", "pv"), "query_id", "pv", nprobe)
-
-    cand = (
-        probes.join(assign, "cid")
-        .filter(F.col("query_id") != F.col("nid"))
-        .select("query_id", F.col("nid").alias("neighbor_id"))
+    pscored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qv", "cid", V.cosine(F.col("qv"), F.col("cv")).alias("ac")
     )
-    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    scored = cand.join(F.broadcast(q), "query_id").join(nv, "neighbor_id")
+    pw = Window.partitionBy("query_id").orderBy(F.desc("ac"), F.asc("cid"))
+    probes = (
+        pscored.withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("nid"))
+    )
     if verify_kernel == "numpy":
         cos = V.cosine_batch_udf()(F.col("qv"), F.col("nv"))
     else:
         cos = V.cosine(F.col("qv"), F.col("nv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.select("query_id", "neighbor_id", cos.alias("cos"))
+        scored.select(
+            "query_id", F.col("nid").alias("neighbor_id"), cos.alias("cos")
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -16,8 +16,17 @@ def fanout(df: DataFrame) -> DataFrame:
     read of a single-row-group file yields ONE partition and would serialize
     the whole operator on one core. The round-robin repartition only fires in
     that degenerate case, and only moves the raw input rows once.
+
+    Cluster deployments never need the guard, so it is gated on the master
+    URL: off a ``local[...]`` master this returns the frame untouched without
+    instantiating the RDD lineage (``df.rdd`` converts the plan — wasted
+    driver work when the guard can never fire).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        return df
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
