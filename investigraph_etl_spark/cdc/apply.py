@@ -21,7 +21,15 @@ Job budget per epoch (what a 10^10-event deployment pays per micro-batch):
   which existing files are read and rewritten), so the resolve is cached and
   a small per-bucket aggregation runs first (action 1), then the MERGE
   (action 2).
-- (only if quarantined > 0) one extra append of the quarantine rows.
+- (only if quarantined > 0) one extra write of the quarantine rows.
+
+Crash consistency: the quarantine rows and the ``_metrics`` sidecar are
+written INSIDE the merge's pre-commit hook — after the data write, before the
+commit-log append. Once the (app_id, epoch_id) token is committed a retry is
+skipped, so anything written after the commit would be lost forever on a
+crash between the two; anything written before is made idempotent instead
+(quarantine = per-epoch overwrite directory, metrics = deterministic
+per-epoch filename) so a retry after a crash-before-commit converges.
 """
 
 from __future__ import annotations
@@ -98,19 +106,34 @@ def _apply_mor_one_action(
 ) -> dict[str, Any]:
     """MOR epoch in ONE Spark action (see module docstring): both
     Observations complete with the write; touched buckets come from the
-    written paths; commit metrics are supplied via the post-write callable."""
+    written paths; quarantine + metrics + commit metrics all happen in the
+    merge's pre-commit hook so they are durable before the epoch token is."""
     lin = Observation(f"lineage-{epoch_id}")
     bucketed = resolved.withColumn("bucket", _bucket_expr(st.n_buckets)).observe(
         lin, _lineage_agg(st.n_buckets)
     )
+    side: dict[str, Any] = {}
 
-    def commit_metrics() -> dict[str, Any]:
+    def pre_commit() -> dict[str, Any]:
         vals = lin.get["lin"]
-        n_events = sum(int(vals[f"ea_{b}"] or 0) for b in range(st.n_buckets))
+        rows = [
+            (b, int(vals[f"ea_{b}"]), int(vals[f"ea_{b}"]) - int(vals[f"nk_{b}"]), vals[f"wm_{b}"])
+            for b in range(st.n_buckets)
+            if vals[f"nk_{b}"]
+        ]
+        per_bucket = pd.DataFrame(
+            rows, columns=["bucket", "events_applied", "conflicts_resolved", "watermark_pos"]
+        )
+        n_quar = int((obs.get or {}).get("n_quar") or 0)
+        if n_quar:  # rare second job: recompute the canonical rows' reject side
+            _write_quarantine(table, canon, app_id, epoch_id)
+        _write_metrics(table, epoch_id, per_bucket, n_quar)
+        n_events = int(per_bucket["events_applied"].sum()) if len(per_bucket) else 0
         n_keys = sum(int(vals[f"nk_{b}"] or 0) for b in range(st.n_buckets))
+        side.update({"events_applied": n_events, "events_quarantined": n_quar})
         return {
             "events_applied": n_events,
-            "events_quarantined": int((obs.get or {}).get("n_quar") or 0),
+            "events_quarantined": n_quar,
             "conflicts_resolved": n_events - n_keys,
         }
 
@@ -118,28 +141,10 @@ def _apply_mor_one_action(
         bucketed.drop("_cnt", "bucket"),
         app_id=app_id,
         epoch_id=epoch_id,
-        extra_metrics=commit_metrics,
+        extra_metrics=pre_commit,
     )
-    if result.get("skipped"):
-        return result
-
-    vals = lin.get["lin"]
-    rows = [
-        (b, int(vals[f"ea_{b}"]), int(vals[f"ea_{b}"]) - int(vals[f"nk_{b}"]), vals[f"wm_{b}"])
-        for b in range(st.n_buckets)
-        if vals[f"nk_{b}"]
-    ]
-    per_bucket = pd.DataFrame(
-        rows, columns=["bucket", "events_applied", "conflicts_resolved", "watermark_pos"]
-    )
-    n_quar = int((obs.get or {}).get("n_quar") or 0)
-    if n_quar:  # rare second job: recompute the canonical rows' reject side
-        canon.filter(~F.col("_valid")).drop("_valid").write.mode("append").parquet(
-            os.path.join(table.root, _QUARANTINE_DIR)
-        )
-    _write_metrics(table, epoch_id, per_bucket, n_quar)
-    n_events = int(per_bucket["events_applied"].sum()) if len(per_bucket) else 0
-    result.update({"events_applied": n_events, "events_quarantined": n_quar})
+    if not result.get("skipped"):
+        result.update(side)
     return result
 
 
@@ -164,31 +169,46 @@ def _apply_two_action(
         touched = [int(b) for b in per_bucket["bucket"]]
         n_quar = int((obs.get or {}).get("n_quar") or 0)
 
-        if n_quar:
-            canon.filter(~F.col("_valid")).drop("_valid").write.mode("append").parquet(
-                os.path.join(table.root, _QUARANTINE_DIR)
-            )
+        def pre_commit() -> dict[str, Any]:
+            if n_quar:
+                _write_quarantine(table, canon, app_id, epoch_id)
+            _write_metrics(table, epoch_id, per_bucket, n_quar)
+            return {
+                "events_applied": n_events,
+                "events_quarantined": n_quar,
+                "conflicts_resolved": int(per_bucket["conflicts_resolved"].sum())
+                if len(per_bucket)
+                else 0,
+            }
 
         result = table.merge(
             resolved.drop("_cnt"),
             app_id=app_id,
             epoch_id=epoch_id,
             touched=touched,
-            extra_metrics={
-                "events_applied": n_events,
-                "events_quarantined": n_quar,
-                "conflicts_resolved": int(per_bucket["conflicts_resolved"].sum())
-                if len(per_bucket)
-                else 0,
-            },
+            extra_metrics=pre_commit,
         )
-
-        if not result.get("skipped"):
-            _write_metrics(table, epoch_id, per_bucket, n_quar)
         result.update({"events_applied": n_events, "events_quarantined": n_quar})
         return result
     finally:
         resolved.unpersist()
+
+
+def _write_quarantine(table: LakeTable, canon: DataFrame, app_id: str, epoch_id: int) -> None:
+    """Land the epoch's rejected rows under a per-epoch directory with
+    overwrite mode: a crash-before-commit retry rewrites the same directory
+    instead of appending duplicates (the append-mode layout could not be
+    replayed idempotently)."""
+    canon.filter(~F.col("_valid")).drop("_valid").write.mode("overwrite").parquet(
+        os.path.join(table.root, _QUARANTINE_DIR, f"epoch-{app_id}-{epoch_id:010d}")
+    )
+
+
+def read_quarantine(table: LakeTable) -> DataFrame:
+    """The `_quarantine` sidecar as one DataFrame (all epochs' rejected rows;
+    the per-epoch directory layout is an idempotency detail, hidden here)."""
+    path = os.path.join(table.root, _QUARANTINE_DIR)
+    return table.spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 
 def _write_metrics(

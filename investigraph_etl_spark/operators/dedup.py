@@ -304,7 +304,10 @@ def simhash64(
         assemble("h_lo").alias("sim_lo"),
     )
     zero = F.lit(0).cast("long")
-    empties = base.filter(F.size("toks") == 0).select(
+    # NULL text ⇒ toks is NULL: explode emits no rows AND size() is not 0
+    # (NULL under ANSI, -1 legacy) — test both predicates or null-text docs
+    # silently vanish from the signature relation (round-2 advice).
+    empties = base.filter(F.col("toks").isNull() | (F.size("toks") == 0)).select(
         "doc_id", zero.alias("sim_hi"), zero.alias("sim_lo")
     )
     return sig.unionByName(empties)
@@ -337,7 +340,8 @@ FROM (
   GROUP BY doc_id
 )
 UNION ALL
-SELECT doc_id, 0::BIGINT, 0::BIGINT FROM {table} WHERE len({toks}) = 0
+SELECT doc_id, 0::BIGINT, 0::BIGINT FROM {table}
+WHERE {toks} IS NULL OR len({toks}) = 0
 """
 
 

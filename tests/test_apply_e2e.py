@@ -79,6 +79,50 @@ def test_e2e_quarantine_and_metrics(spark, tmp_path):
     pd.testing.assert_frame_equal(_final(table), want, check_dtype=False)
 
 
+def test_crash_between_write_and_commit_keeps_quarantine(spark, tmp_path):
+    """Regression (round-2 advice): quarantine + metrics used to be written
+    AFTER the commit-log append — a crash between the two permanently lost
+    the quarantined rows, since the committed epoch token makes the retry a
+    no-op. Both now happen in the pre-commit hook; a crash injected at the
+    log commit must leave the retry able to converge with no loss and no
+    quarantine duplicates."""
+    from investigraph_etl_spark.cdc.apply import read_quarantine
+
+    ev = generate_events(GeneratorConfig(n_events=800, seed=13, n_epochs=1))
+    bad = ev.head(15).copy()
+    bad["conv_id"] = None
+    evq = pd.concat([ev, bad], ignore_index=True)
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, n_buckets=8)
+    batch = spark.createDataFrame(evq.drop(columns=["epoch"]))
+
+    real_commit = table.log.commit
+    boom = {"armed": True}
+
+    def crashing_commit(c):
+        if boom["armed"]:  # data + quarantine + metrics written, token not yet
+            boom["armed"] = False
+            raise RuntimeError("injected crash before log commit")
+        return real_commit(c)
+
+    table.log.commit = crashing_commit
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_events_batch(table, batch, app_id="cr", epoch_id=0)
+    # the crash lost the token but NOT the quarantine rows
+    assert read_quarantine(table).count() == 15
+
+    res = apply_events_batch(table, batch, app_id="cr", epoch_id=0)  # retry
+    assert res["events_quarantined"] == 15
+    assert res["events_applied"] == len(ev)
+    assert read_quarantine(table).count() == 15  # overwrite, not append: no dupes
+    m = read_metrics(table).toPandas()
+    assert m["events_quarantined"].sum() == 15  # metrics not duplicated either
+    want = replay_oracle(ev.drop(columns=["epoch"]))[PAYLOAD].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(table), want, check_dtype=False)
+
+    res2 = apply_events_batch(table, batch, app_id="cr", epoch_id=0)  # re-delivery
+    assert res2.get("skipped")
+
+
 def test_e2e_schema_evolution_mid_stream(spark, tmp_path):
     ev = generate_events(
         GeneratorConfig(n_events=3000, seed=5, n_epochs=6, evolve_from_epoch=3)

@@ -149,6 +149,7 @@ def test_simhash64_identical_docs_collide_at_zero(spark):
             (3, "completely different words entirely here"),
             (4, ""),
             (5, ""),
+            (6, None),  # NULL text must not vanish (round-2 advice)
         ],
         ["doc_id", "text"],
     )
@@ -159,7 +160,10 @@ def test_simhash64_identical_docs_collide_at_zero(spark):
         }
         assert pairs[(1, 2)] == 0  # identical text -> identical signature
         assert pairs[(4, 5)] == 0  # tokenless docs -> zero signature, kept
+        assert pairs[(4, 6)] == 0 and pairs[(5, 6)] == 0  # NULL == empty sig
         assert (1, 3) not in pairs and (2, 3) not in pairs
+        sigs = D.simhash64(df, kernel=kernel).collect()
+        assert {r.doc_id for r in sigs} == {1, 2, 3, 4, 5, 6}
 
 
 def test_exact_duplicates_kernels_agree_on_groups(spark, docs):
