@@ -34,13 +34,13 @@ per-epoch filename) so a retry after a crash-before-commit converges.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from investigraph_etl_spark import storage
 from investigraph_etl_spark.cdc.events import canonicalize_events
 from investigraph_etl_spark.cdc.resolve import resolve_lww
 from investigraph_etl_spark.lake.table import LakeTable, _bucket_expr
@@ -200,14 +200,14 @@ def _write_quarantine(table: LakeTable, canon: DataFrame, app_id: str, epoch_id:
     instead of appending duplicates (the append-mode layout could not be
     replayed idempotently)."""
     canon.filter(~F.col("_valid")).drop("_valid").write.mode("overwrite").parquet(
-        os.path.join(table.root, _QUARANTINE_DIR, f"epoch-{app_id}-{epoch_id:010d}")
+        storage.join(table.root, _QUARANTINE_DIR, f"epoch-{app_id}-{epoch_id:010d}")
     )
 
 
 def read_quarantine(table: LakeTable) -> DataFrame:
     """The `_quarantine` sidecar as one DataFrame (all epochs' rejected rows;
     the per-epoch directory layout is an idempotency detail, hidden here)."""
-    path = os.path.join(table.root, _QUARANTINE_DIR)
+    path = storage.join(table.root, _QUARANTINE_DIR)
     return table.spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 
@@ -232,12 +232,11 @@ def _write_metrics(
     out["events_quarantined"] = [0] * (len(out) - 1) + [n_quar] if n_quar else 0
     # Spark's parquet reader rejects TIMESTAMP(NANOS); pin to micros.
     out["watermark_pos"] = out["watermark_pos"].astype("datetime64[us]")
-    path = os.path.join(table.root, _METRICS_DIR)
-    os.makedirs(path, exist_ok=True)
-    out.to_parquet(os.path.join(path, f"epoch-{epoch_id:010d}.parquet"), index=False)
+    table.fs.put_parquet(
+        storage.join(table.root, _METRICS_DIR, f"epoch-{epoch_id:010d}.parquet"), out
+    )
 
 
 def read_metrics(table: LakeTable) -> DataFrame:
     """The `_metrics` sidecar as a DataFrame (per epoch × bucket lineage)."""
-    path = os.path.join(table.root, _METRICS_DIR)
-    return table.spark.read.parquet(path)
+    return table.spark.read.parquet(storage.join(table.root, _METRICS_DIR))

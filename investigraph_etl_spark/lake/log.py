@@ -18,11 +18,11 @@ writer into a clean conflict error instead of corruption.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
+
+from investigraph_etl_spark.storage import join, storage_for
 
 CHECKPOINT_EVERY = 20
 _LOG_DIR = "_log"
@@ -71,35 +71,42 @@ class TableState:
 
 
 class CommitLog:
+    """All I/O via the control-plane storage interface (storage.py) — one
+    LIST of the log prefix per state read, one exclusive PUT per commit."""
+
     def __init__(self, table_root: str) -> None:
         self.root = table_root
-        self.log_dir = os.path.join(table_root, _LOG_DIR)
+        self.fs = storage_for(table_root)
+        self.log_dir = join(table_root, _LOG_DIR)
 
     # ---- paths ----------------------------------------------------------
     def _version_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"{version:020d}.json")
+        return join(self.log_dir, f"{version:020d}.json")
 
     def _checkpoint_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        return join(self.log_dir, f"{version:020d}.checkpoint.json")
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_dir) and bool(self._list_versions())
+        return bool(self._list_versions())
+
+    def _names(self) -> list[str]:
+        return [
+            n
+            for n in self.fs.list_names(self.log_dir)
+            if n.endswith(".json") and ".tmp." not in n
+        ]
 
     def _list_versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
-        out = []
-        for name in os.listdir(self.log_dir):
-            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
-                out.append(int(name.split(".")[0]))
-        return sorted(out)
-
-    def _list_checkpoints(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         return sorted(
             int(n.split(".")[0])
-            for n in os.listdir(self.log_dir)
+            for n in self._names()
+            if not n.endswith(".checkpoint.json")
+        )
+
+    def _list_checkpoints(self) -> list[int]:
+        return sorted(
+            int(n.split(".")[0])
+            for n in self._names()
             if n.endswith(".checkpoint.json")
         )
 
@@ -123,8 +130,7 @@ class CommitLog:
         start = 0
         cps = [c for c in self._list_checkpoints() if c <= versions[-1]]
         if cps:
-            with open(self._checkpoint_path(cps[-1])) as f:
-                cp = json.load(f)
+            cp = self.fs.get_json(self._checkpoint_path(cps[-1]))
             live = set(cp["live_files"])
             schema = cp["schema"]
             n_buckets = cp["n_buckets"]
@@ -136,8 +142,7 @@ class CommitLog:
         for v in versions:
             if v <= start:
                 continue
-            with open(self._version_path(v)) as f:
-                c = json.load(f)
+            c = self.fs.get_json(self._version_path(v))
             live.difference_update(c["removed"])
             live.update(c["added"])
             if c.get("schema"):
@@ -169,19 +174,13 @@ class CommitLog:
 
     # ---- write ----------------------------------------------------------
     def commit(self, commit: Commit) -> None:
-        """Atomically publish the next commit; O_EXCL create = conflict-safe."""
-        os.makedirs(self.log_dir, exist_ok=True)
+        """Atomically publish the next commit. Exclusive put = conflict-safe:
+        locally tmp+fsync+link, on object stores a conditional PUT — a second
+        concurrent writer gets FileExistsError, never corruption."""
         commit.committed_at = time.time()
-        path = self._version_path(commit.version)
-        tmp = path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(commit.to_json(), f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)  # fails with EEXIST on writer conflict
-        finally:
-            os.unlink(tmp)
+        self.fs.put_json(
+            self._version_path(commit.version), commit.to_json(), exclusive=True
+        )
         if commit.version % CHECKPOINT_EVERY == 0:
             self._write_checkpoint(commit.version)
 
@@ -200,8 +199,4 @@ class CommitLog:
                 [list(t) for t in state.committed_epochs], key=lambda t: (str(t[0]), t[1])
             ),
         }
-        path = self._checkpoint_path(version)
-        tmp = path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(cp, f)
-        os.replace(tmp, path)
+        self.fs.put_json(self._checkpoint_path(version), cp)

@@ -39,7 +39,6 @@ Reference parity for the sink itself: keyed idempotent upsert store
 
 from __future__ import annotations
 
-import os
 import uuid
 from typing import Any
 
@@ -49,6 +48,7 @@ from pyspark.sql import types as T
 
 from investigraph_etl_spark.cdc.events import KEY_COLS
 from investigraph_etl_spark.lake.log import Commit, CommitLog
+from investigraph_etl_spark.storage import join, storage_for
 
 HIDDEN_COLS = ("_ts", "_seq", "_deleted")
 _BUCKET_COL = "bucket"  # physical partition dir column; reserved name
@@ -76,7 +76,8 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
-        self.data_dir = os.path.join(root, "data")
+        self.fs = storage_for(root)  # control plane; data plane = Spark/Hadoop FS
+        self.data_dir = join(root, "data")
         self.log = CommitLog(root)
 
     # ------------------------------------------------------------------ setup
@@ -109,7 +110,6 @@ class LakeTable:
         t = cls(spark, root)
         if t.log.exists():
             raise FileExistsError(f"table already exists at {root}")
-        os.makedirs(t.data_dir, exist_ok=True)
         physical = T.StructType(
             list(schema.fields)
             + [
@@ -173,7 +173,7 @@ class LakeTable:
         if not files:
             df = self.spark.createDataFrame([], reader_schema)
         else:
-            paths = [os.path.join(self.data_dir, f) for f in files]
+            paths = [join(self.data_dir, f) for f in files]
             # Explicit schema: files written before a column existed read as null
             # (additive evolution); basePath materializes the commit/bucket
             # partition columns from the directory layout.
@@ -276,7 +276,7 @@ class LakeTable:
         oversized task outputs into multiple ~target-size files.
         """
         token = uuid.uuid4().hex[:12]
-        dest = os.path.join(self.data_dir, f"{_COMMIT_COL}={token}")
+        dest = join(self.data_dir, f"{_COMMIT_COL}={token}")
         parts = max(1, n_touched if n_touched is not None else n_buckets)
         if self.write_fanout > 1 and "_seq" in df.columns:
             out = df.repartition(
@@ -291,14 +291,13 @@ class LakeTable:
             writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
         writer.partitionBy(_BUCKET_COL).parquet(dest)
 
-        added: list[str] = []
-        for bucket_dir in sorted(os.listdir(dest)):
-            if not bucket_dir.startswith(f"{_BUCKET_COL}="):
-                continue
-            for fname in sorted(os.listdir(os.path.join(dest, bucket_dir))):
-                if fname.endswith(".parquet"):
-                    added.append(f"{_COMMIT_COL}={token}/{bucket_dir}/{fname}")
-        return added
+        # ONE recursive LIST of the fresh token's prefix builds the manifest
+        # (control-plane storage interface — object-store LIST, POSIX walk).
+        return [
+            f"{_COMMIT_COL}={token}/{rel}"
+            for rel in self.fs.list_files(dest)
+            if rel.endswith(".parquet") and f"{_BUCKET_COL}=" in rel
+        ]
 
     def merge(
         self,
@@ -516,16 +515,12 @@ class LakeTable:
         st = self._state()
         live = set(st.live_files)
         removed = 0
-        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
-            for fname in filenames:
-                full = os.path.join(dirpath, fname)
-                rel = os.path.relpath(full, self.data_dir)
-                if rel not in live:
-                    os.unlink(full)  # incl. _SUCCESS markers — never live
-                    if fname.endswith(".parquet"):
-                        removed += 1
-            if dirpath != self.data_dir and not os.listdir(dirpath):
-                os.rmdir(dirpath)  # reclaim emptied commit/bucket dirs
+        for rel in self.fs.list_files(self.data_dir):
+            if rel not in live:
+                self.fs.delete(join(self.data_dir, rel))  # incl. _SUCCESS markers
+                if rel.endswith(".parquet"):
+                    removed += 1
+        self.fs.prune(self.data_dir)  # reclaim emptied dirs (POSIX only)
         return removed
 
     def history(self) -> list[dict]:
@@ -542,8 +537,6 @@ class LakeTable:
         commit log (no table scan): live files, committed epochs, cumulative
         events applied/quarantined/conflicts from commit metrics.
         """
-        import json
-
         st = self._state()
         totals: dict[str, int] = {}
         for c in st.commits:
@@ -551,7 +544,7 @@ class LakeTable:
                 if k in (c.metrics or {}):
                     totals[k] = totals.get(k, 0) + int(c.metrics[k])
         meta = {
-            "name": os.path.basename(self.root.rstrip("/")),
+            "name": self.root.rstrip("/").rsplit("/", 1)[-1],
             "version": st.version,
             "mode": st.mode,
             "n_buckets": st.n_buckets,
@@ -564,6 +557,5 @@ class LakeTable:
             "committed_epochs": len(st.committed_epochs),
             "stats": totals,
         }
-        with open(os.path.join(self.root, "index.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+        self.fs.put_json(join(self.root, "index.json"), meta)
         return meta

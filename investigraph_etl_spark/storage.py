@@ -1,0 +1,248 @@
+"""Pluggable control-plane storage for the lake (commit log, manifests,
+vacuum, sidecars).
+
+The DATA plane (parquet scans and writes) already goes through Spark's Hadoop
+FS connectors and therefore speaks any scheme the cluster has jars for. The
+CONTROL plane — commit-log files, manifest listing after a write, vacuum,
+`_metrics`/`index.json` sidecars — used to be hardwired to POSIX calls
+(``os.listdir``/``os.walk``/``open``), which meant the object-store-safe
+commit *layout* (direct-to-final, zero renames) still could not actually run
+against ``s3://``. Everything control-plane now routes through the tiny
+interface below; the reference's everything-is-an-fsspec-URI discipline
+(/root/reference/investigraph/logic/load.py:21-22, logic/seed.py:14-23) is the
+parity bar.
+
+The interface is the object-store common denominator — put / get / list /
+delete / exists, nothing else. No rename, no mkdir, no walk:
+
+- **No rename.** Atomicity needs are met by (a) exclusive put for commit
+  files (locally: tmp + fsync + ``link``; on S3-class stores: conditional PUT
+  ``If-None-Match: *``) and (b) plain overwrite put for checkpoints (object
+  PUTs are atomic by nature; the local impl uses tmp + ``os.replace`` to get
+  the same all-or-nothing visibility on POSIX).
+- **No mkdir.** Directories don't exist on object stores; the local impl
+  creates parents implicitly on put, listing a missing prefix yields ``[]``.
+
+Deployments register additional schemes (e.g. an fsspec/boto-backed ``s3``)
+with :func:`register_scheme`; ``memory://`` ships in-repo as the fake-remote
+used by tests to prove no POSIX leakage remains.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any, Callable
+
+__all__ = [
+    "Storage",
+    "LocalStorage",
+    "MemoryStorage",
+    "storage_for",
+    "register_scheme",
+    "join",
+]
+
+
+def join(*parts: str) -> str:
+    """Join path components with "/" regardless of scheme (URI-safe; POSIX
+    paths on the platforms Spark runs on use "/" too)."""
+    out = parts[0].rstrip("/")
+    for p in parts[1:]:
+        out += "/" + p.strip("/")
+    return out
+
+
+class Storage:
+    """Control-plane storage interface (see module docstring).
+
+    All paths are full paths/URIs in the instance's scheme. ``list_*`` on a
+    missing prefix returns ``[]``; ``put_*`` creates any missing parents;
+    ``exclusive=True`` put raises :class:`FileExistsError` if the path exists
+    (the commit-conflict primitive).
+    """
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_names(self, prefix: str) -> list[str]:
+        """Sorted names of the files DIRECTLY under prefix."""
+        raise NotImplementedError
+
+    def list_files(self, prefix: str) -> list[str]:
+        """Sorted prefix-relative paths of ALL files under prefix (recursive)."""
+        raise NotImplementedError
+
+    def get_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def put_bytes(self, path: str, data: bytes, exclusive: bool = False) -> None:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    # ---- conveniences shared by every impl -------------------------------
+    def get_text(self, path: str) -> str:
+        return self.get_bytes(path).decode("utf-8")
+
+    def put_text(self, path: str, data: str, exclusive: bool = False) -> None:
+        self.put_bytes(path, data.encode("utf-8"), exclusive=exclusive)
+
+    def get_json(self, path: str) -> Any:
+        return json.loads(self.get_text(path))
+
+    def put_json(self, path: str, obj: Any, exclusive: bool = False) -> None:
+        self.put_text(path, json.dumps(obj), exclusive=exclusive)
+
+    def put_parquet(self, path: str, pdf) -> None:
+        """One pandas frame as one parquet object (sidecar writes)."""
+        buf = io.BytesIO()
+        pdf.to_parquet(buf, index=False)
+        self.put_bytes(path, buf.getvalue())
+
+    def prune(self, prefix: str) -> None:
+        """Reclaim empty directories under prefix. No-op where directories
+        don't exist (object stores) — only the local impl overrides."""
+
+
+class LocalStorage(Storage):
+    """POSIX impl. Accepts bare paths or ``file://`` URIs."""
+
+    @staticmethod
+    def _p(path: str) -> str:
+        return path[7:] if path.startswith("file://") else path
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def list_names(self, prefix: str) -> list[str]:
+        p = self._p(prefix)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            n for n in os.listdir(p) if os.path.isfile(os.path.join(p, n))
+        )
+
+    def list_files(self, prefix: str) -> list[str]:
+        root = self._p(prefix)
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            for f in files:
+                out.append(f if rel == "." else f"{rel}/{f}")
+        return sorted(out)
+
+    def get_bytes(self, path: str) -> bytes:
+        with open(self._p(path), "rb") as f:
+            return f.read()
+
+    def put_bytes(self, path: str, data: bytes, exclusive: bool = False) -> None:
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        if exclusive:
+            try:
+                os.link(tmp, p)  # EEXIST on writer conflict — never clobbers
+            finally:
+                os.unlink(tmp)
+        else:
+            os.replace(tmp, p)  # atomic overwrite publish
+
+    def delete(self, path: str) -> None:
+        os.unlink(self._p(path))
+
+    def prune(self, prefix: str) -> None:
+        root = self._p(prefix)
+        if not os.path.isdir(root):
+            return
+        for dirpath, _dirs, _files in os.walk(root, topdown=False):
+            if dirpath != root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+
+
+class MemoryStorage(Storage):
+    """In-memory fake-remote: a flat object map, no directories, no renames.
+
+    Also records every operation in :attr:`ops` so tests can assert the lake
+    control plane touches storage ONLY through this interface (put / get /
+    list / delete / exists) — the proof that no ``os.*`` leaks remain.
+    """
+
+    def __init__(self) -> None:
+        self.objects: dict[str, bytes] = {}
+        self.ops: list[tuple[str, str]] = []
+
+    @staticmethod
+    def _p(path: str) -> str:
+        return path.rstrip("/")
+
+    def exists(self, path: str) -> bool:
+        self.ops.append(("exists", path))
+        p = self._p(path)
+        return p in self.objects or any(
+            k.startswith(p + "/") for k in self.objects
+        )
+
+    def list_names(self, prefix: str) -> list[str]:
+        self.ops.append(("list", prefix))
+        p = self._p(prefix) + "/"
+        return sorted(
+            k[len(p):] for k in self.objects if k.startswith(p) and "/" not in k[len(p):]
+        )
+
+    def list_files(self, prefix: str) -> list[str]:
+        self.ops.append(("list", prefix))
+        p = self._p(prefix) + "/"
+        return sorted(k[len(p):] for k in self.objects if k.startswith(p))
+
+    def get_bytes(self, path: str) -> bytes:
+        self.ops.append(("get", path))
+        try:
+            return self.objects[self._p(path)]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def put_bytes(self, path: str, data: bytes, exclusive: bool = False) -> None:
+        self.ops.append(("put", path))
+        p = self._p(path)
+        if exclusive and p in self.objects:  # conditional PUT If-None-Match
+            raise FileExistsError(path)
+        self.objects[p] = data
+
+    def delete(self, path: str) -> None:
+        self.ops.append(("delete", path))
+        self.objects.pop(self._p(path), None)
+
+
+_LOCAL = LocalStorage()
+_MEMORY = MemoryStorage()
+_SCHEMES: dict[str, Storage | Callable[[], Storage]] = {
+    "": _LOCAL,
+    "file": _LOCAL,
+    "memory": _MEMORY,
+}
+
+
+def register_scheme(scheme: str, storage: Storage) -> None:
+    """Plug a storage impl for a URI scheme (e.g. an fsspec-backed "s3")."""
+    _SCHEMES[scheme] = storage
+
+
+def storage_for(path: str) -> Storage:
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    try:
+        impl = _SCHEMES[scheme]
+    except KeyError:
+        raise ValueError(
+            f"no storage registered for scheme {scheme!r} "
+            f"(register_scheme({scheme!r}, ...))"
+        ) from None
+    return impl() if callable(impl) else impl
