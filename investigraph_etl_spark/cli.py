@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("compact", "history", "vacuum", "metadata"):
         sp = sub.add_parser(name)
         sp.add_argument("--table", required=True)
+        if name == "vacuum":
+            sp.add_argument("--retain-versions", type=int, default=0)
+            sp.add_argument("--retain-s", type=float, default=0.0)
 
     sp = sub.add_parser("fetch")
     sp.add_argument("--url", required=True)
@@ -112,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         print(json.dumps(table.compact()))
     elif args.cmd == "vacuum":
-        print(json.dumps({"files_removed": table.vacuum()}))
+        print(json.dumps({"files_removed": table.vacuum(
+            retain_versions=args.retain_versions, retain_s=args.retain_s)}))
     elif args.cmd == "metadata":
         print(json.dumps(table.export_metadata()))
     else:

@@ -172,6 +172,15 @@ class CommitLog:
         vs = self._list_versions()
         return vs[-1] if vs else 0
 
+    def versions(self) -> list[int]:
+        """All committed versions, ascending (vacuum retention uses this)."""
+        return self._list_versions()
+
+    def commit_time(self, version: int) -> float:
+        """``committed_at`` of one commit (0.0 for pre-timestamp commits)."""
+        c = self.fs.get_json(self._version_path(version))
+        return float(c.get("committed_at") or 0.0)
+
     # ---- write ----------------------------------------------------------
     def commit(self, commit: Commit) -> None:
         """Atomically publish the next commit. Exclusive put = conflict-safe:

@@ -39,6 +39,7 @@ Reference parity for the sink itself: keyed idempotent upsert store
 
 from __future__ import annotations
 
+import time
 import uuid
 from typing import Any
 
@@ -506,14 +507,36 @@ class LakeTable:
         return {"version": st.version + 1, "files_added": len(added)}
 
     # ------------------------------------------------------------------ maintenance
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the CURRENT version. Returns count.
+    def vacuum(
+        self,
+        retain_versions: int = 0,
+        retain_s: float = 0.0,
+        now: float | None = None,
+    ) -> int:
+        """Delete data files referenced by no retained version. Returns count.
 
-        (Production would honor a retention window to keep time travel; the
-        sandbox variant reclaims immediately.)
+        Retention keeps time travel alive: a version is retained when it is
+        the current version, one of the last ``retain_versions`` before it,
+        or committed within ``retain_s`` seconds of ``now``. Files live in ANY
+        retained version survive; everything else (superseded generations,
+        aborted-write orphans) is reclaimed. Defaults reclaim everything but
+        the current version — the pre-retention behavior.
+
+        Cost is control-plane only: one state reconstruction per retained
+        version (each checkpoint-bounded), one LIST of the data prefix — no
+        data scan, so this is safe to run on a 10^10-row table.
         """
         st = self._state()
-        live = set(st.live_files)
+        cutoff = (time.time() if now is None else now) - retain_s
+        retained = {st.version}
+        older = [v for v in self.log.versions() if v < st.version]
+        retained.update(older[len(older) - retain_versions:] if retain_versions else [])
+        if retain_s > 0:
+            retained.update(v for v in older if self.log.commit_time(v) >= cutoff)
+        live: set[str] = set()
+        for v in sorted(retained):
+            vst = self._state(at_version=v)
+            live.update(vst.live_files)
         removed = 0
         for rel in self.fs.list_files(self.data_dir):
             if rel not in live:

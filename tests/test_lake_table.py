@@ -155,6 +155,58 @@ def test_time_travel_and_vacuum(spark, tmp_table_root):
     assert t.read().count() > 0  # current version intact
 
 
+def test_vacuum_retention_window(spark, tmp_table_root):
+    """Vacuum with retention keeps time travel inside the window and reclaims
+    past it (round-2 verdict #9: immediate reclaim killed time travel)."""
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=4)
+    versions = []
+    for i in range(3):
+        ev = generate_events(GeneratorConfig(n_events=300, seed=40 + i))
+        ev["seq"] += i * 100_000
+        t.merge(_resolved(spark, ev), app_id="t", epoch_id=i)
+        versions.append(t.version)
+    v_old, v_mid, v_cur = versions
+    mid_before = t.read(at_version=v_mid).orderBy("conv_id", "turn_idx").collect()
+
+    # retain 1 version of history: v_mid still travels, v_old's files go
+    removed = t.vacuum(retain_versions=1)
+    assert removed > 0
+    assert (
+        t.read(at_version=v_mid).orderBy("conv_id", "turn_idx").collect()
+        == mid_before
+    )
+    assert t.read(at_version=v_cur).count() > 0
+    old_only = set(t.log.read_state(at_version=v_old).live_files) - set(
+        t.log.read_state(at_version=v_mid).live_files
+    ) - set(t.log.read_state(at_version=v_cur).live_files)
+    on_disk = set(t.fs.list_files(t.data_dir))
+    assert old_only and not (old_only & on_disk)
+
+    # past the window: a second vacuum without retention reclaims v_mid too
+    mid_only = set(t.log.read_state(at_version=v_mid).live_files) - set(
+        t.log.read_state(at_version=v_cur).live_files
+    )
+    assert t.vacuum() > 0
+    assert not (mid_only & set(t.fs.list_files(t.data_dir)))
+
+
+def test_vacuum_retain_by_age(spark, tmp_table_root):
+    """Time-based retention: every version committed within retain_s survives."""
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=4)
+    for i in range(2):
+        ev = generate_events(GeneratorConfig(n_events=200, seed=60 + i))
+        ev["seq"] += i * 100_000
+        t.merge(_resolved(spark, ev), app_id="t", epoch_id=i)
+    # every commit is seconds old → nothing but write-orphans may go
+    live_all = set()
+    for v in t.log.versions():
+        live_all |= set(t.log.read_state(at_version=v).live_files)
+    t.vacuum(retain_s=3600.0)
+    assert live_all <= set(t.fs.list_files(t.data_dir))
+    # with now pushed far into the future the window is empty → reclaim
+    assert t.vacuum(now=t.log.commit_time(t.version) + 7200.0, retain_s=3600.0) > 0
+
+
 def test_history_lineage(spark, tmp_table_root):
     t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=4)
     ev = generate_events(GeneratorConfig(n_events=200, seed=30))
