@@ -116,6 +116,59 @@ def test_stream_tokens_differ_per_checkpoint(spark, tmp_path):
     assert a.commit_token == IngestPipeline(None, "x", "y", str(tmp_path / "a"), app_id="p").commit_token
 
 
+def test_stream_continuous_tail_soak(spark, tail):
+    """start_tail() soak: a processing-time-trigger query follows the landing
+    dir across ≥3 triggers while epochs arrive OUT OF ORDER (late delivery)
+    and one file is re-delivered verbatim (at-least-once source). The table
+    must converge to the replay oracle — LWW is order-insensitive and the
+    duplicate re-apply is a semantic no-op."""
+    import time
+
+    ev, paths, landing, base = tail
+    troot, ckpt = f"{base}/table", f"{base}/ckpt"
+    LakeTable.create(spark, troot, TRANSCRIPT_SCHEMA, n_buckets=8)
+    pipe = IngestPipeline(spark, landing, troot, ckpt, app_id="soak")
+    q = pipe.start_tail(processing_time="1 second")
+    try:
+        def applied():
+            return sum(r.get("events_applied", 0) for r in pipe.results)
+
+        def wait_for(n, timeout=120):
+            deadline = time.time() + timeout
+            while applied() < n:
+                assert time.time() < deadline, f"stalled at {applied()}/{n}"
+                assert q.isActive, f"query died: {q.exception()}"
+                time.sleep(0.25)
+
+        n_per = ev.groupby("epoch").size().to_dict()
+        # wave 1: epochs 0-1 in order
+        for p in paths[:2]:
+            shutil.move(p, landing)
+        w1 = n_per[0] + n_per[1]
+        wait_for(w1)
+        # wave 2: epochs 4-5 arrive BEFORE 2-3 (out-of-order tail)
+        for p in paths[4:]:
+            shutil.move(p, landing)
+        w2 = w1 + n_per[4] + n_per[5]
+        wait_for(w2)
+        # wave 3: the stragglers 2-3, plus epoch 0's file re-delivered
+        # verbatim under a new name (at-least-once duplicate)
+        shutil.copy(
+            os.path.join(landing, os.path.basename(paths[0])),
+            os.path.join(landing, "zz-dup-" + os.path.basename(paths[0])),
+        )
+        for p in paths[2:4]:
+            shutil.move(p, landing)
+        wait_for(w2 + n_per[2] + n_per[3] + n_per[0])
+    finally:
+        q.stop()
+
+    # ≥3 distinct micro-batches actually carried data (one per wave minimum)
+    assert len([r for r in pipe.results if r.get("events_applied", 0) > 0]) >= 3
+    want = replay_oracle(ev.drop(columns=["epoch"]))
+    pd.testing.assert_frame_equal(_final(spark, troot), want, check_dtype=False)
+
+
 def test_stream_schema_evolution_on_restart(spark, tmp_path):
     """North-star additive schema evolution, streaming form: a tail whose
     later epochs carry NEW columns (tool metadata) is ingested in two stream
