@@ -48,10 +48,12 @@ class _CountingHandler(BaseHTTPRequestHandler):
 
     def do_HEAD(self):
         self.counts["HEAD"] = self.counts.get("HEAD", 0) + 1
+        self.counts[f"HEAD {self.path}"] = self.counts.get(f"HEAD {self.path}", 0) + 1
         self._respond(False)
 
     def do_GET(self):
         self.counts["GET"] = self.counts.get("GET", 0) + 1
+        self.counts[f"GET {self.path}"] = self.counts.get(f"GET {self.path}", 0) + 1
         self._respond(True)
 
     def log_message(self, *a):  # silence
@@ -95,6 +97,40 @@ def test_fetch_conditional_reread(http_server, tmp_path):
         assert f.read() == b"a,b\n9,9\n"
 
 
+def test_fetch_partitioned_parallel_fanout(spark, http_server, tmp_path):
+    """Crawl-scale path: a URL table fanned out via mapInPandas — executes on
+    ≥2 partitions, payload stays in the DataFrame, conditional re-read holds
+    per executor cache (unchanged etags ⇒ zero GETs on the second pass)."""
+    from investigraph_etl_spark.sources.http import fetch_partitioned
+
+    port = http_server.server_address[1]
+    urls, want = [], {}
+    for i in range(8):
+        p, body = f"/doc{i}.csv", f"a\n{i}\n".encode()
+        _CountingHandler.store[p] = (body, f'W/"v{i}"')
+        u = f"http://127.0.0.1:{port}{p}"
+        urls.append(u)
+        want[u] = body
+    cache = str(tmp_path / "cache")
+
+    out = fetch_partitioned(spark, urls, cache_dir=cache, n_partitions=4).collect()
+    assert len(out) == 8
+    assert all(r["fetched"] for r in out)
+    assert {r["url"]: bytes(r["content"]) for r in out} == want
+    # the fan-out is real: rows were produced by ≥2 distinct partitions
+    assert len({r["part_id"] for r in out}) >= 2
+    for i in range(8):  # per-path counters are race-free (each URL unique)
+        assert _CountingHandler.counts.get(f"GET /doc{i}.csv") == 1
+
+    # second pass, unchanged etags: HEAD-only — zero additional GETs
+    out2 = fetch_partitioned(spark, urls, cache_dir=cache, n_partitions=4).collect()
+    assert not any(r["fetched"] for r in out2)
+    assert {r["url"]: bytes(r["content"]) for r in out2} == want
+    for i in range(8):
+        assert _CountingHandler.counts.get(f"GET /doc{i}.csv") == 1
+        assert _CountingHandler.counts.get(f"HEAD /doc{i}.csv") == 2
+
+
 def test_read_source_http_csv(spark, http_server, tmp_path):
     port = http_server.server_address[1]
     url = f"http://127.0.0.1:{port}/tbl.csv"
@@ -127,6 +163,172 @@ def test_read_excel_df_spark(spark):
     assert df.count() == EC_GOLDEN_ROWS
     assert "Location" in df.columns
     assert all(t == "string" for _, t in df.dtypes)
+
+
+def _mk_xlsx(sheets, num_fmts=None, cell_xfs=("0",), date1904=False):
+    """Minimal OOXML builder for typed-cell tests: ``sheets`` is an ordered
+    list of (tab_name, part_file, rows); each row a list of cell XML snippets.
+    Deliberately supports part numbering that disagrees with tab order."""
+    import io as _io
+    import zipfile as _zip
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    nsr = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    buf = _io.BytesIO()
+    with _zip.ZipFile(buf, "w") as z:
+        sheet_tags = "".join(
+            f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, (name, _, _) in enumerate(sheets)
+        )
+        pr = '<workbookPr date1904="1"/>' if date1904 else "<workbookPr/>"
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{nsr}">{pr}'
+            f"<sheets>{sheet_tags}</sheets></workbook>",
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i + 1}" Type="x" Target="worksheets/{part}"/>'
+            for i, (_, part, _) in enumerate(sheets)
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+            f'relationships">{rels}</Relationships>',
+        )
+        fmts = "".join(
+            f'<numFmt numFmtId="{fid}" formatCode="{code}"/>'
+            for fid, code in (num_fmts or {}).items()
+        )
+        xfs = "".join(f'<xf numFmtId="{fid}"/>' for fid in cell_xfs)
+        z.writestr(
+            "xl/styles.xml",
+            f'<styleSheet xmlns="{ns}"><numFmts>{fmts}</numFmts>'
+            f"<cellXfs>{xfs}</cellXfs></styleSheet>",
+        )
+        for _, part, rows in sheets:
+            body = "".join(
+                f'<row r="{i + 1}">' + "".join(cells) + "</row>"
+                for i, cells in enumerate(rows)
+            )
+            z.writestr(
+                f"xl/worksheets/{part}",
+                f'<worksheet xmlns="{ns}"><sheetData>{body}</sheetData></worksheet>',
+            )
+    return buf.getvalue()
+
+
+def _s(ref, text):  # inline-string cell
+    return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
+
+
+def test_xlsx_sheet_order_follows_workbook_not_part_names():
+    """Tab order comes from workbook.xml: with parts numbered so that
+    lexicographic (and numeric) part sort disagrees with tab order, index 0
+    must resolve the FIRST TAB; names resolve regardless of part numbering."""
+    content = _mk_xlsx(
+        [
+            ("meta", "sheet2.xml", [[_s("A1", "k")], [_s("A2", "m")]]),
+            ("data", "sheet10.xml", [[_s("A1", "k")], [_s("A2", "d")]]),
+        ]
+    )
+    assert parse_xlsx(content)["k"][0] == "m"  # first tab, not sheet10.xml
+    assert parse_xlsx(content, sheet_name="data")["k"][0] == "d"
+    assert parse_xlsx(content, sheet_index=1)["k"][0] == "d"
+    with pytest.raises(KeyError, match="no sheet named"):
+        parse_xlsx(content, sheet_name="nope")
+
+
+def _typed_book():
+    from datetime import datetime
+
+    rows = [
+        [_s("A1", "id"), _s("B1", "when"), _s("C1", "score"),
+         _s("D1", "flag"), _s("E1", "note"), _s("F1", "custom_when")],
+        [
+            '<c r="A2"><v>7</v></c>',
+            '<c r="B2" s="1"><v>45000</v></c>',        # numFmtId 14 → date
+            '<c r="C2" s="3"><v>1.5</v></c>',          # "0.00" → NOT a date
+            '<c r="D2" t="b"><v>1</v></c>',
+            _s("E2", "hello"),
+            '<c r="F2" s="2"><v>45000.5</v></c>',      # custom date-time fmt
+        ],
+        [
+            '<c r="A3"><v>8</v></c>',
+            '<c r="B3" s="1"><v>45001</v></c>',
+            '<c r="C3" s="3"><v>2.25</v></c>',
+            '<c r="D3" t="b"><v>0</v></c>',
+            _s("E3", "bye"),
+            '<c r="F3" s="2"><v>45001.25</v></c>',
+        ],
+    ]
+    content = _mk_xlsx(
+        [("data", "sheet1.xml", rows)],
+        num_fmts={164: "dd/mm/yyyy hh:mm", 165: "0.00"},
+        cell_xfs=("0", "14", "164", "165"),
+    )
+    epoch = datetime(1899, 12, 30)
+    return content, epoch
+
+
+def test_parse_xlsx_typed_cells_style_aware_dates():
+    from datetime import timedelta
+
+    content, epoch = _typed_book()
+    # default face unchanged: everything a string, dates stay serial text
+    raw = parse_xlsx(content)
+    assert list(raw.loc[0]) == ["7", "45000", "1.5", "1", "hello", "45000.5"]
+
+    df = parse_xlsx(content, typed=True)
+    assert list(df["id"]) == [7, 8]
+    assert df["when"][0] == epoch + timedelta(days=45000)
+    assert df["custom_when"][0] == epoch + timedelta(days=45000.5)  # 12:00
+    assert df["score"][0] == 1.5 and isinstance(df["score"][0], float)
+    assert list(df["flag"]) == [True, False]
+    assert df["note"][0] == "hello"
+
+
+def test_parse_xlsx_typed_1904_epoch():
+    from datetime import datetime, timedelta
+
+    rows = [[_s("A1", "d")], ['<c r="A2" s="1"><v>100</v></c>']]
+    content = _mk_xlsx([("s", "sheet1.xml", rows)], cell_xfs=("0", "14"),
+                       date1904=True)
+    df = parse_xlsx(content, typed=True)
+    assert df["d"][0] == datetime(1904, 1, 1) + timedelta(days=100)
+
+
+def test_read_excel_df_typed_roundtrip(spark, tmp_path):
+    """Golden typed round-trip through Spark: a real date column lands as
+    TIMESTAMP (not string), numerics as long/double, bools as boolean."""
+    from datetime import timedelta
+
+    content, epoch = _typed_book()
+    (tmp_path / "a.xlsx").write_bytes(content)
+    (tmp_path / "b.xlsx").write_bytes(content)
+
+    df = read_excel_df(spark, str(tmp_path / "*.xlsx"), typed=True)
+    assert dict(df.dtypes) == {
+        "id": "bigint", "when": "timestamp", "score": "double",
+        "flag": "boolean", "note": "string", "custom_when": "timestamp",
+    }
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 4  # two files × two rows
+    assert rows[0]["when"] == epoch + timedelta(days=45000)
+    assert rows[0]["custom_when"] == epoch + timedelta(days=45000.5)
+    assert rows[0]["id"] == 7 and rows[0]["flag"] is True
+    assert rows[0]["score"] == 1.5
+
+
+def test_parse_xlsx_reference_fixture_by_name_and_typed_parity():
+    """ec-meetings: sheet-by-name matches the golden sheet; typed mode is a
+    no-op on an all-string workbook (pandas read_excel parity: strings stay
+    strings, no guessing)."""
+    with open(EC_MEETINGS_XLSX, "rb") as f:
+        content = f.read()
+    by_name = parse_xlsx(content, skiprows=1, sheet_name="Export Worksheet")
+    assert len(by_name) == EC_GOLDEN_ROWS and "Location" in by_name.columns
+    typed = parse_xlsx(content, skiprows=1, typed=True)
+    assert typed.equals(parse_xlsx(content, skiprows=1))
 
 
 def test_pipeline_with_xlsx_source_and_frame_ops(spark):
