@@ -328,6 +328,8 @@ def read_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
             path,
             skiprows=int(opts.get("skiprows", 0)),
             sheet_index=int(opts.get("sheet_index", 0)),
+            sheet_name=opts.get("sheet_name"),
+            typed=bool(opts.get("typed", False)),
         )
     reader = spark.read.format(fmt)
     for k, v in (source.get("options") or {}).items():
