@@ -31,12 +31,22 @@ BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 #: Punctuation-ish characters (for quality scoring).
 PUNCT_RE = r"[^a-zA-Z0-9\s]"
 
-#: Tiny per-language stopword inventories for the n-gram/stopword language-ID
-#: heuristic. Order matters: ties broken by first-listed language.
+#: Per-language stopword inventories for the stopword-ratio language-ID
+#: heuristic. Order matters: ties broken by first-listed language. Words are
+#: chosen to be distinctive where possible; residual overlap (e.g. "por" in
+#: es and pt) is resolved by the tie order. Shared by BOTH faces (Spark +
+#: DuckDB SQL) so the oracle cannot drift from the engine.
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
     "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "los", "las", "por", "con", "del", "se", "su", "es", "como"),
+    "it": ("il", "di", "che", "non", "per", "gli", "della", "sono", "anche", "più"),
+    "pt": ("não", "uma", "os", "dos", "das", "em", "para", "com", "mais", "ao"),
+    "nl": ("het", "een", "van", "niet", "zijn", "aan", "voor", "ook", "maar", "dit"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "har", "inte", "med"),
+    "pl": ("nie", "się", "jest", "na", "do", "że", "jak", "ale", "po", "co"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok", "gibi", "ama"),
 }
 
 _Q = "'"
@@ -222,6 +232,22 @@ def lang_id_sql(col: str) -> str:
         f"WHEN ({best}) > 0 AND ({hit[lg]}) = ({best}) THEN '{lg}'" for lg in langs
     )
     return f"CASE {branches} ELSE 'und' END"
+
+
+def lang_confidence(col: Column) -> Column:
+    """Confidence for :func:`lang_id`: the winning language's stopword density
+    (best hits / tokens, DOUBLE in [0, 1]); 0.0 when the verdict is 'und'."""
+    tok = tokens(col)
+    best = F.greatest(*[stopword_hits(tok, lg) for lg in STOPWORDS])
+    return best / F.greatest(F.size(tok), F.lit(1))
+
+
+def lang_confidence_sql(col: str) -> str:
+    tok = tokens_sql(col)
+    best = "greatest(" + ", ".join(
+        stopword_hits_sql(tok, lg) for lg in STOPWORDS
+    ) + ")"
+    return f"({best}) / greatest(len({tok}), 1)"
 
 
 # ------------------------------------------------------------------- quality

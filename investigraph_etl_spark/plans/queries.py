@@ -590,12 +590,15 @@ FROM documents
 
 def q_text_langid(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", X.lang_id(F.col("text")).alias("lang_pred")
+        "doc_id",
+        X.lang_id(F.col("text")).alias("lang_pred"),
+        X.lang_confidence(F.col("text")).alias("lang_conf"),
     )
 
 
 _TEXT_LANGID_ORACLE = (
-    f"SELECT doc_id, {X.lang_id_sql('text')} AS lang_pred FROM documents"
+    f"SELECT doc_id, {X.lang_id_sql('text')} AS lang_pred, "
+    f"{X.lang_confidence_sql('text')} AS lang_conf FROM documents"
 )
 
 

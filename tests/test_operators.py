@@ -73,11 +73,29 @@ def test_lang_id_basics(spark):
             (1, "the cat sat on the mat and it is warm"),
             (2, "der hund und die katze ist nicht da"),
             (3, "xyzzy plugh qwerty"),
+            (4, "le chien est dans la maison pour que les chats"),
+            (5, "el perro y los gatos por la casa con su comida es como"),
+            (6, "il cane di casa che non dorme per la strada gli amici sono anche più"),
+            (7, "não é uma casa para os amigos em lisboa com mais tempo"),
+            (8, "het is een huis van de familie niet voor dit jaar maar"),
+            (9, "och det är som att ha en bil av papper på med inte"),
+            (10, "nie wiem jak to jest ale się robi na co dzień po"),
+            (11, "bu bir ev ve daha çok gibi ama için ile olarak"),
         ],
         ["doc_id", "text"],
     )
-    got = {r.doc_id: r.lg for r in df.select("doc_id", X.lang_id(F.col("text")).alias("lg")).collect()}
-    assert got == {1: "en", 2: "de", 3: "und"}
+    out = df.select(
+        "doc_id",
+        X.lang_id(F.col("text")).alias("lg"),
+        X.lang_confidence(F.col("text")).alias("conf"),
+    ).collect()
+    got = {r.doc_id: r.lg for r in out}
+    assert got == {1: "en", 2: "de", 3: "und", 4: "fr", 5: "es", 6: "it",
+                   7: "pt", 8: "nl", 9: "sv", 10: "pl", 11: "tr"}
+    conf = {r.doc_id: r.conf for r in out}
+    assert conf[3] == 0.0  # 'und' ⇒ zero confidence
+    assert conf[1] == pytest.approx(0.5)  # 5 en stopwords / 10 tokens
+    assert all(0.0 <= c <= 1.0 for c in conf.values())
 
 
 # ------------------------------------------------------------- dedup parity
