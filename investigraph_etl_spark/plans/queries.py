@@ -30,6 +30,7 @@ from investigraph_etl_spark.functions import dates as _DT
 from investigraph_etl_spark.functions import text as X
 
 DT_LENIENT_SQL = _DT.lenient_to_date_sql("raw")
+from investigraph_etl_spark.operators import corpus as C
 from investigraph_etl_spark.operators import dedup as D
 from investigraph_etl_spark.operators import multimodal as M
 from investigraph_etl_spark.operators import similarity as S
@@ -804,6 +805,40 @@ FROM carried WHERE event_type = 'purchase'
 """
 
 
+# ===================================================== corpus preparation ====
+# Training-data corpus stages between "deduped documents" and "batches":
+# context-window chunking, deterministic split sampling, sequence packing
+# (operators/corpus.py — md5 oracle faces here, xxhash64 in PROD_QUERIES).
+
+
+def q_corpus_chunks(spark, sf_dir):
+    """Fixed-token-window chunking of every document (context-length prep).
+    Narrow explode, zero shuffle — scales linearly with corpus bytes."""
+    return C.chunk_tokens(_t(spark, sf_dir, "documents"), k=64)
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic 10% hash-mod sample of documents (repeatable train/eval
+    splits): a pure filter that prunes at the scan; stable under reruns and
+    repartitioning, unlike df.sample."""
+    return C.sample_hash(_t(spark, sf_dir, "documents"), pct=10, kernel="md5")
+
+
+def q_corpus_pack(spark, sf_dir):
+    """Greedy sequence packing: documents → per-group token streams → bins of
+    ~512 tokens. Only exchange is the even n_groups-way hash partition (no
+    global sort — a global ORDER BY would serialize at 100 TB)."""
+    counts = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.n_tokens(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return C.pack_sequences(counts, budget=512, n_groups=64, kernel="md5")
+
+
+_CORPUS_PACK_INNER = (
+    "SELECT doc_id, " + X.n_tokens_sql("text") + " AS n_tokens FROM documents"
+)
+
+
 # ================================================================ registry ===
 
 QUERIES = {
@@ -845,6 +880,9 @@ QUERIES = {
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "rollup_pricing": q_rollup_pricing,
     "asof_last_click": q_asof_last_click,
+    "corpus_chunks": q_corpus_chunks,
+    "corpus_sample": q_corpus_sample,
+    "corpus_pack": q_corpus_pack,
 }
 
 ORACLES = {
@@ -886,6 +924,11 @@ ORACLES = {
     "pivot_user_event_counts": _PIVOT_ORACLE,
     "rollup_pricing": _ROLLUP_ORACLE,
     "asof_last_click": _ASOF_ORACLE,
+    "corpus_chunks": C.chunk_tokens_sql(k=64),
+    "corpus_sample": C.sample_hash_sql(
+        pct=10, cols="doc_id, text, lang, source, n_chars"
+    ),
+    "corpus_pack": C.pack_sequences_sql(_CORPUS_PACK_INNER, budget=512, n_groups=64),
 }
 
 
@@ -926,5 +969,16 @@ PROD_QUERIES = {
     ),
     "ann_ivf": lambda spark, sf_dir: S.ivf_topk(
         _t(spark, sf_dir, "embeddings"), verify_kernel="numpy"
+    ),
+    "corpus_sample": lambda spark, sf_dir: C.sample_hash(
+        _t(spark, sf_dir, "documents"), pct=10, kernel="xxhash64"
+    ),
+    "corpus_pack": lambda spark, sf_dir: C.pack_sequences(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", X.n_tokens(F.col("text")).cast("long").alias("n_tokens")
+        ),
+        budget=512,
+        n_groups=64,
+        kernel="xxhash64",
     ),
 }
