@@ -41,6 +41,10 @@ class Commit:
     epoch_id: int | None = None
     metrics: dict[str, Any] = field(default_factory=dict)
     committed_at: float = 0.0
+    # per-file column bounds for the files this commit adds (zone maps for
+    # data skipping — lake/stats.py): {rel_path: {col: {min, max, nulls}}}
+    stats: dict[str, Any] = field(default_factory=dict)
+    stats_cols: list[str] | None = None  # set on the create commit
 
     def to_json(self) -> dict:
         return {
@@ -55,6 +59,8 @@ class Commit:
             "epoch_id": self.epoch_id,
             "metrics": self.metrics,
             "committed_at": self.committed_at,
+            "stats": self.stats,
+            "stats_cols": self.stats_cols,
         }
 
 
@@ -68,6 +74,8 @@ class TableState:
     committed_epochs: set[tuple[str | None, int]]  # (app_id, epoch_id)
     commits: list[Commit]          # commits replayed after the checkpoint
     mode: str = "cow"              # "cow" | "mor"
+    file_stats: dict[str, Any] = field(default_factory=dict)  # zone maps
+    stats_cols: list[str] = field(default_factory=list)
 
 
 class CommitLog:
@@ -126,6 +134,8 @@ class CommitLog:
         mode = "cow"
         epochs: set[tuple[str | None, int]] = set()
         commits: list[Commit] = []
+        file_stats: dict[str, Any] = {}
+        stats_cols: list[str] = []
 
         start = 0
         cps = [c for c in self._list_checkpoints() if c <= versions[-1]]
@@ -137,6 +147,8 @@ class CommitLog:
             key_cols = cp["key_cols"]
             epochs = {(a, e) for a, e in cp["committed_epochs"]}
             mode = cp.get("mode", "cow")
+            file_stats = cp.get("file_stats", {})
+            stats_cols = cp.get("stats_cols", [])
             start = cp["version"]
 
         for v in versions:
@@ -145,6 +157,11 @@ class CommitLog:
             c = self.fs.get_json(self._version_path(v))
             live.difference_update(c["removed"])
             live.update(c["added"])
+            for rm in c["removed"]:
+                file_stats.pop(rm, None)
+            file_stats.update(c.get("stats") or {})
+            if c.get("stats_cols") is not None:
+                stats_cols = c["stats_cols"]
             if c.get("schema"):
                 schema = c["schema"]
             if c.get("n_buckets"):
@@ -166,6 +183,8 @@ class CommitLog:
             committed_epochs=epochs,
             commits=commits,
             mode=mode,
+            file_stats=file_stats,
+            stats_cols=stats_cols,
         )
 
     def latest_version(self) -> int:
@@ -207,5 +226,7 @@ class CommitLog:
             "committed_epochs": sorted(
                 [list(t) for t in state.committed_epochs], key=lambda t: (str(t[0]), t[1])
             ),
+            "file_stats": state.file_stats,
+            "stats_cols": state.stats_cols,
         }
         self.fs.put_json(self._checkpoint_path(version), cp)

@@ -31,6 +31,12 @@ Key design decisions, each driven by 100 TB scale:
 - **Exactly-once**: each MERGE carries an ``(app_id, epoch_id)`` token stored
   in the commit log; a re-delivered micro-batch (foreachBatch retry, stream
   restart) is detected and skipped before any work happens.
+- **Zone-map data skipping**: every write records per-file min/max bounds of
+  the ``stats_cols`` (parquet-footer ranged reads, O(KB)/file) in the commit
+  log; ``read(where=...)`` prunes provably-unmatchable files driver-side
+  before the scan — the Iceberg-manifest-bounds / Delta-file-stats pattern
+  (lake/stats.py; MOR prunes key columns only — payload bounds could drop an
+  LWW winner).
 
 Reference parity for the sink itself: keyed idempotent upsert store
 (/root/reference/investigraph/logic/load.py:25-31) and fragment append
@@ -49,6 +55,12 @@ from pyspark.sql import types as T
 
 from investigraph_etl_spark.cdc.events import KEY_COLS
 from investigraph_etl_spark.lake.log import Commit, CommitLog
+from investigraph_etl_spark.lake.stats import (
+    collect_file_stats,
+    preds_to_column,
+    prune_files,
+    validate_preds,
+)
 from investigraph_etl_spark.storage import join, storage_for
 
 HIDDEN_COLS = ("_ts", "_seq", "_deleted")
@@ -91,8 +103,15 @@ class LakeTable:
         n_buckets: int = 16,
         key_cols: tuple[str, ...] = KEY_COLS,
         mode: str = "cow",
+        stats_cols: tuple[str, ...] | None = None,
     ) -> "LakeTable":
         """Create an empty table (commit 1 = schema + layout + mode, no files).
+
+        ``stats_cols``: columns whose per-file min/max bounds are recorded in
+        the commit log at write time (parquet-footer reads only — one ranged
+        GET per new file) and used by ``read(where=...)`` to skip files
+        (lake/stats.py). Default: the key columns + ``ts``. Pass ``()`` to
+        disable stats collection.
 
         ``mode``:
 
@@ -119,6 +138,8 @@ class LakeTable:
                 T.StructField("_deleted", T.BooleanType(), False),
             ]
         )
+        if stats_cols is None:
+            stats_cols = tuple(key_cols) + (("ts",) if "ts" in schema.names else ())
         t.log.commit(
             Commit(
                 version=1,
@@ -126,6 +147,7 @@ class LakeTable:
                 n_buckets=n_buckets,
                 key_cols=list(key_cols),
                 mode=mode,
+                stats_cols=list(stats_cols),
             )
         )
         return t
@@ -186,6 +208,31 @@ class LakeTable:
         df = df.drop(_COMMIT_COL)
         return df if with_bucket else df.drop(_BUCKET_COL)
 
+    def _collect_stats(self, added: list[str], stats_cols: list[str]) -> dict:
+        """Zone maps for freshly written files: one parquet-footer read per
+        file through the storage interface (ranged GETs — O(KB) per file,
+        driver-side, same cost class as the manifest LIST). Recorded in the
+        commit so ``read(where=...)`` can skip files without data-plane I/O."""
+        if not stats_cols or not added:
+            return {}
+        return collect_file_stats(self.fs, self.data_dir, added, stats_cols)
+
+    def files_for(
+        self,
+        where: list[tuple[str, str, Any]] | None = None,
+        at_version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """(files read(where=...) would scan, number pruned by zone maps) —
+        the observability/test surface for data skipping."""
+        st = self._state(at_version)
+        if not where:
+            return list(st.live_files), 0
+        preds = validate_preds(where)
+        prunable = set(st.stats_cols)
+        if st.mode == "mor":
+            prunable &= set(st.key_cols)  # payload pruning unsafe under LWW
+        return prune_files(st.live_files, st.file_stats, preds, prunable)
+
     def _reduce_physical(self, df: DataFrame, physical: T.StructType) -> DataFrame:
         """LWW-reduce physical rows to one winner per key by (_ts, _seq).
 
@@ -200,20 +247,43 @@ class LakeTable:
             *KEY_COLS, *[F.col(f"w.{c}").alias(c) for c in rest]
         )
 
-    def read(self, at_version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        at_version: int | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
         """Live rows, public schema (tombstones and hidden columns stripped).
 
         COW tables hold one version per key on disk — plain scan. MOR tables
         LWW-reduce across file generations first (one hash-agg keyed on the
         table key; partition pruning/bucketing still applies upstream).
+
+        ``where``: AND-ed simple predicates ``[(col, op, literal), ...]``
+        (ops ``= < <= > >=``). Files whose recorded zone maps prove no match
+        are skipped BEFORE the scan (lake/stats.py); the predicate is then
+        also applied as a normal Spark filter, so the result is identical to
+        filtering a full read — stats only remove I/O. On MOR tables only
+        key-column predicates prune files (a payload bound could drop the
+        LWW winner while keeping a stale loser); payload predicates still
+        filter, post-reduction.
         """
         st = self._state(at_version)
         schema = T.StructType.fromJson(st.schema)
-        df = self._read_files(st.live_files, schema)
+        files = st.live_files
+        cond = None
+        if where:
+            preds = validate_preds(where)
+            prunable = set(st.stats_cols)
+            if st.mode == "mor":
+                prunable &= set(st.key_cols)
+            files, _ = prune_files(files, st.file_stats, preds, prunable)
+            cond = preds_to_column(preds)
+        df = self._read_files(files, schema)
         if st.mode == "mor":
             df = self._reduce_physical(df, schema)
         public = [f.name for f in schema.fields if f.name not in HIDDEN_COLS]
-        return df.filter(~F.col("_deleted")).select(*public)
+        out = df.filter(~F.col("_deleted")).select(*public)
+        return out.filter(cond) if cond is not None else out
 
     def read_physical(self, buckets: list[int] | None = None) -> DataFrame:
         """All physical rows incl. tombstones; optionally pruned to buckets."""
@@ -405,6 +475,7 @@ class LakeTable:
                 app_id=app_id,
                 epoch_id=epoch_id,
                 metrics=metrics,
+                stats=self._collect_stats(added, st.stats_cols),
             )
         )
         if st.mode == "mor":
@@ -481,6 +552,7 @@ class LakeTable:
                 added=added,
                 removed=files,
                 metrics={"compaction": True, "buckets": len(buckets)},
+                stats=self._collect_stats(added, st.stats_cols),
             )
         )
         return {"compacted_buckets": len(buckets), "files_removed": len(files)}
@@ -502,7 +574,12 @@ class LakeTable:
         ).withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
         added = self._write_data(out, st.n_buckets)
         self.log.commit(
-            Commit(version=st.version + 1, added=added, metrics=metrics or {})
+            Commit(
+                version=st.version + 1,
+                added=added,
+                metrics=metrics or {},
+                stats=self._collect_stats(added, st.stats_cols),
+            )
         )
         return {"version": st.version + 1, "files_added": len(added)}
 

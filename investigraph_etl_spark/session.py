@@ -31,6 +31,11 @@ ENGINE_CONF: dict[str, str] = {
     # Parquet: pushdown + vectorized reader stay on (defaults, pinned for
     # clarity because correctness of bucket pruning depends on them).
     "spark.sql.parquet.filterPushdown": "true",
+    # Write timestamps as INT64 micros, not the deprecated INT96: INT96
+    # columns carry NO min/max statistics in parquet footers, which would
+    # silently disable zone-map data skipping on ts (lake/stats.py) and
+    # row-group pushdown on every timestamp predicate.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Don't let tiny test tables produce 200 empty shuffle partitions.
     "spark.sql.shuffle.partitions": "32",
     # In-memory-friendly partition sizing for the local harness; on a real

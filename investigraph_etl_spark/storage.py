@@ -13,7 +13,9 @@ interface below; the reference's everything-is-an-fsspec-URI discipline
 parity bar.
 
 The interface is the object-store common denominator — put / get / list /
-delete / exists, nothing else. No rename, no mkdir, no walk:
+delete / exists, plus HEAD (``size``) and ranged GET (``get_range``, which
+powers footer-only parquet statistics reads in lake/stats.py). No rename, no
+mkdir, no walk:
 
 - **No rename.** Atomicity needs are met by (a) exclusive put for commit
   files (locally: tmp + fsync + ``link``; on S3-class stores: conditional PUT
@@ -39,6 +41,7 @@ __all__ = [
     "Storage",
     "LocalStorage",
     "MemoryStorage",
+    "RangeFile",
     "storage_for",
     "register_scheme",
     "join",
@@ -83,6 +86,21 @@ class Storage:
     def delete(self, path: str) -> None:
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        """Object size in bytes (an object-store HEAD)."""
+        return len(self.get_bytes(path))
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        """Ranged read (an object-store ranged GET). The generic fallback
+        fetches the whole object; real impls override with a true range so
+        parquet-footer reads stay O(footer), not O(file)."""
+        return self.get_bytes(path)[start : start + length]
+
+    def open_range_reader(self, path: str) -> "RangeFile":
+        """Seekable read-only file over ranged GETs — what footer-only
+        parquet metadata reads go through (lake/stats.py)."""
+        return RangeFile(self, path)
+
     # ---- conveniences shared by every impl -------------------------------
     def get_text(self, path: str) -> str:
         return self.get_bytes(path).decode("utf-8")
@@ -105,6 +123,56 @@ class Storage:
     def prune(self, prefix: str) -> None:
         """Reclaim empty directories under prefix. No-op where directories
         don't exist (object stores) — only the local impl overrides."""
+
+
+class RangeFile(io.RawIOBase):
+    """Read-only seekable file served by :meth:`Storage.get_range`.
+
+    pyarrow's ParquetFile seeks to the tail for the footer and then to the
+    row-group offsets it needs — through this adapter each such read is one
+    ranged GET, so reading statistics from a 1 GB object transfers ~KBs.
+    """
+
+    def __init__(self, fs: Storage, path: str) -> None:
+        self._fs = fs
+        self._path = path
+        self._size = fs.size(path)
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        elif whence == io.SEEK_END:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence: {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = max(0, min(n, self._size - self._pos))
+        if n == 0:
+            return b""
+        data = self._fs.get_range(self._path, self._pos, n)
+        self._pos += len(data)
+        return data
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
 
 
 class LocalStorage(Storage):
@@ -158,6 +226,14 @@ class LocalStorage(Storage):
 
     def delete(self, path: str) -> None:
         os.unlink(self._p(path))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._p(path))
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        with open(self._p(path), "rb") as f:
+            f.seek(start)
+            return f.read(length)
 
     def prune(self, prefix: str) -> None:
         root = self._p(prefix)
@@ -220,6 +296,20 @@ class MemoryStorage(Storage):
     def delete(self, path: str) -> None:
         self.ops.append(("delete", path))
         self.objects.pop(self._p(path), None)
+
+    def size(self, path: str) -> int:
+        self.ops.append(("head", path))
+        try:
+            return len(self.objects[self._p(path)])
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        self.ops.append(("get_range", path))
+        try:
+            return self.objects[self._p(path)][start : start + length]
+        except KeyError:
+            raise FileNotFoundError(path) from None
 
 
 _LOCAL = LocalStorage()
