@@ -200,6 +200,14 @@ class CommitLog:
         c = self.fs.get_json(self._version_path(version))
         return float(c.get("committed_at") or 0.0)
 
+    def get(self, version: int) -> Commit:
+        """One commit by version (changelog reads walk these)."""
+        c = self.fs.get_json(self._version_path(version))
+        kw = {k: c.get(k) for k in Commit.__dataclass_fields__}
+        for k, empty in (("added", []), ("removed", []), ("metrics", {}), ("stats", {})):
+            kw[k] = kw[k] or empty
+        return Commit(**kw)
+
     # ---- write ----------------------------------------------------------
     def commit(self, commit: Commit) -> None:
         """Atomically publish the next commit. Exclusive put = conflict-safe:

@@ -285,6 +285,104 @@ class LakeTable:
         out = df.filter(~F.col("_deleted")).select(*public)
         return out.filter(cond) if cond is not None else out
 
+    def changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental changelog: the logical change rows committed in
+        versions ``(since_version, to_version]`` — the "CDC out" face of the
+        table (Iceberg incremental scan / changelog view analog), so a
+        downstream pipeline can consume exactly the delta instead of
+        re-scanning 10^10 rows.
+
+        Returns the public columns plus ``_change_type`` (``upsert`` |
+        ``delete``) and ``_commit_version``. Cost scales with the DELTA only:
+        the commit walk is control-plane, and the scan touches just the files
+        those commits added.
+
+        Requires ``mode="mor"`` for merge commits: a MOR merge's added files
+        ARE the resolved change batch (one LWW winner per key per epoch,
+        tombstones included), so the changelog is exact. A COW merge rewrites
+        whole buckets — its files mix changed and carried-over rows, which
+        cannot be split back into a delta without diffing versions; asking
+        for a changelog across one raises ``ValueError``. ``append`` commits
+        are logical inserts in either mode. Compaction and vacuum commits
+        are physical-only (no logical change) and are skipped; a window
+        where compaction already superseded an epoch's files still yields
+        that epoch's rows from the ORIGINAL files as long as they are not
+        vacuumed — ``vacuum(retain_versions=...)`` is the changelog-retention
+        knob, exactly as in Iceberg.
+        """
+        st = self._state(to_version)
+        to_v = st.version
+        if since_version > to_v:
+            raise ValueError(f"since_version {since_version} > version {to_v}")
+        schema = T.StructType.fromJson(st.schema)
+        token_version: dict[str, int] = {}
+        files: list[str] = []
+        for v in self.log.versions():
+            if not (since_version < v <= to_v):
+                continue
+            c = self.log.get(v)
+            if c.metrics.get("compaction") or c.metrics.get("vacuum"):
+                continue
+            if v == 1 or not c.added:
+                continue
+            if st.mode != "mor" and c.removed:
+                raise ValueError(
+                    "changelog read across a copy-on-write MERGE commit "
+                    f"(version {v}): COW rewrites mix changed and unchanged "
+                    "rows; use mode='mor' tables for CDC-out"
+                )
+            files.extend(c.added)
+            for f in c.added:
+                # dir name "commit=<token>"; the materialized partition
+                # column holds the bare token
+                token_version[f.split("/", 1)[0].split("=", 1)[1]] = v
+
+        reader_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField(_COMMIT_COL, T.StringType(), True),
+                T.StructField(_BUCKET_COL, T.IntegerType(), True),
+            ]
+        )
+        if not token_version:
+            empty = self.spark.createDataFrame([], reader_schema)
+            public = [f.name for f in schema.fields if f.name not in HIDDEN_COLS]
+            return empty.select(
+                *public,
+                F.lit("upsert").alias("_change_type"),
+                F.lit(0).cast("long").alias("_commit_version"),
+            ).limit(0)
+
+        # one control-plane existence probe per contributing commit: a clear
+        # error beats a mid-scan failure when the delta was already vacuumed
+        for token, v in token_version.items():
+            if not self.fs.exists(join(self.data_dir, f"{_COMMIT_COL}={token}")):
+                raise FileNotFoundError(
+                    f"changelog files of version {v} were vacuumed; retain "
+                    "them with vacuum(retain_versions=...) to keep the "
+                    "changelog window readable"
+                )
+        df = (
+            self.spark.read.schema(reader_schema)
+            .option("basePath", self.data_dir)
+            .parquet(*[join(self.data_dir, f) for f in files])
+        )
+        ver_map = F.create_map(
+            *[x for t, v in token_version.items() for x in (F.lit(t), F.lit(v))]
+        )
+        public = [f.name for f in schema.fields if f.name not in HIDDEN_COLS]
+        return df.select(
+            *public,
+            F.when(F.col("_deleted"), F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("_change_type"),
+            F.element_at(ver_map, F.col(_COMMIT_COL))
+            .cast("long")
+            .alias("_commit_version"),
+        )
+
     def read_physical(self, buckets: list[int] | None = None) -> DataFrame:
         """All physical rows incl. tombstones; optionally pruned to buckets."""
         st = self._state()

@@ -838,6 +838,81 @@ _CORPUS_PACK_INNER = (
     "SELECT doc_id, " + X.n_tokens_sql("text") + " AS n_tokens FROM documents"
 )
 
+# Shared constants for the composed curation pipeline (both faces).
+_CURATE_MIN_STOPWORD_RATIO = 0.10
+_CURATE_MIN_TOKENS = 8
+_CURATE_SAMPLE_PCT = 50
+_CURATE_SALT = "cur"
+_CURATE_CHUNK_K = 64
+
+
+def _curate(spark, sf_dir, kernel: str):
+    """The end-to-end curation pipeline a pretraining corpus runs, composed
+    from the engine's own operators: exact-dedup survivors (keep lowest
+    doc_id per text digest) → language gate (computed lang_id = 'en') →
+    quality gate (stopword ratio + token floor) → deterministic 50% sample →
+    64-token context chunks.
+
+    Plan shape at 100 TB: the dedup group key is the digest (never the
+    text), the survivor semi-join exchanges ids only, every gate is a narrow
+    scan-stage filter, and chunking is a narrow explode — two id-width
+    shuffles total, payload text never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    digests = docs.select("doc_id", X.digest(F.col("text"), kernel=kernel).alias("dg"))
+    surv_ids = digests.groupBy("dg").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    tok = X.tokens(F.col("text"))
+    stop_ratio = X.stopword_hits(tok, "en") / F.greatest(F.size(tok), F.lit(1))
+    kept = (
+        docs.join(surv_ids, "doc_id", "left_semi")
+        .where(X.lang_id(F.col("text")) == "en")
+        .where(stop_ratio >= _CURATE_MIN_STOPWORD_RATIO)
+        .where(F.size(tok) >= _CURATE_MIN_TOKENS)
+    )
+    sampled = C.sample_hash(
+        kept, pct=_CURATE_SAMPLE_PCT, salt=_CURATE_SALT, kernel=kernel
+    )
+    return C.chunk_tokens(sampled, k=_CURATE_CHUNK_K)
+
+
+def q_corpus_curate(spark, sf_dir):
+    """Oracle face of :func:`_curate` (portable md5 kernel)."""
+    return _curate(spark, sf_dir, "md5")
+
+
+_tok_sql = X.tokens_sql("text")
+_CURATE_ORACLE = f"""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN surv USING (doc_id)
+  WHERE ({X.lang_id_sql('d.text')}) = 'en'
+    AND ({X.stopword_hits_sql(X.tokens_sql('d.text'), 'en')})
+        / greatest(len({X.tokens_sql('d.text')}), 1)
+        >= {_CURATE_MIN_STOPWORD_RATIO}
+    AND len({X.tokens_sql('d.text')}) >= {_CURATE_MIN_TOKENS}
+    AND ('0x' || substr(md5(d.doc_id::VARCHAR || '{_CURATE_SALT}'), 1, 8))::BIGINT
+        % 100 < {_CURATE_SAMPLE_PCT}
+),
+t AS (SELECT doc_id, {_tok_sql} AS toks FROM kept),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, ceil(len(toks) / {_CURATE_CHUNK_K})::BIGINT),
+           i -> {{'chunk_idx': i - 1,
+                  'chunk_text': array_to_string(
+                    toks[(i-1)*{_CURATE_CHUNK_K} + 1 : i*{_CURATE_CHUNK_K}], ' '),
+                  'n_tokens': least(len(toks) - (i-1)*{_CURATE_CHUNK_K},
+                                    {_CURATE_CHUNK_K})}})) AS u
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id, u.chunk_idx::BIGINT AS chunk_idx,
+       u.chunk_text AS chunk_text, u.n_tokens::BIGINT AS n_tokens
+FROM c
+"""
+
 
 # ================================================================ registry ===
 
@@ -883,6 +958,7 @@ QUERIES = {
     "corpus_chunks": q_corpus_chunks,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
+    "corpus_curate": q_corpus_curate,
 }
 
 ORACLES = {
@@ -929,6 +1005,7 @@ ORACLES = {
         pct=10, cols="doc_id, text, lang, source, n_chars"
     ),
     "corpus_pack": C.pack_sequences_sql(_CORPUS_PACK_INNER, budget=512, n_groups=64),
+    "corpus_curate": _CURATE_ORACLE,
 }
 
 
@@ -973,6 +1050,7 @@ PROD_QUERIES = {
     "corpus_sample": lambda spark, sf_dir: C.sample_hash(
         _t(spark, sf_dir, "documents"), pct=10, kernel="xxhash64"
     ),
+    "corpus_curate": lambda spark, sf_dir: _curate(spark, sf_dir, "xxhash64"),
     "corpus_pack": lambda spark, sf_dir: C.pack_sequences(
         _t(spark, sf_dir, "documents").select(
             "doc_id", X.n_tokens(F.col("text")).cast("long").alias("n_tokens")

@@ -102,6 +102,18 @@ AUDITED: dict[str, str] = {
         "exchange between them — payload bytes stay on the executor through "
         "both Arrow passes."
     ),
+    "corpus_pack": (
+        "exactly ONE `Exchange hashpartitioning` (the even n_groups-way "
+        "salt) and NO `Exchange rangepartitioning`/global `Sort` — the "
+        "running-sum window is per-group, so no partition ever sees more "
+        "than corpus/n_groups rows."
+    ),
+    "corpus_curate": (
+        "the dedup aggregate exchanges (digest, id) only and the survivor "
+        "semi-join exchanges ids — document text must never appear in an "
+        "`Exchange`; every gate (lang/quality/sample) is a scan-stage "
+        "`Filter` and chunking is a narrow `Generate` (explode)."
+    ),
 }
 
 
