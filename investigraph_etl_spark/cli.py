@@ -13,6 +13,10 @@ Usage (``python -m investigraph_etl_spark.cli <cmd> ...``)::
     history  --table DIR              # commit lineage (_commits view)
     vacuum   --table DIR              # reclaim unreferenced data files
     metadata --table DIR              # write + print index.json (O23)
+    read     --table DIR [--where "col>=v" ...] [-n N]
+                                      # zone-map-pruned read (JSONL rows)
+    changes  --table DIR --since V [--to V]
+                                      # incremental changelog (CDC out, JSONL)
     fetch    --url URL [--cache-dir]  # conditional HTTP fetch (O2; no Spark)
 """
 
@@ -21,6 +25,30 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+
+def _parse_where(exprs: list[str]) -> list[tuple[str, str, object]]:
+    """``col>=value`` strings → (col, op, literal) predicates. Literals are
+    tried as int, float, then ISO date/timestamp, else kept as strings."""
+    import datetime as _dt
+
+    out = []
+    for e in exprs:
+        for op in (">=", "<=", "=", ">", "<"):  # two-char ops first
+            if op in e:
+                col, raw = e.split(op, 1)
+                val: object = raw.strip()
+                for conv in (int, float, _dt.datetime.fromisoformat):
+                    try:
+                        val = conv(raw.strip())
+                        break
+                    except ValueError:
+                        continue
+                out.append((col.strip(), op, val))
+                break
+        else:
+            raise SystemExit(f"bad --where {e!r}: expected col<op>value")
+    return out
 
 
 def _spark(cpus: str | None):
@@ -57,6 +85,20 @@ def main(argv: list[str] | None = None) -> int:
         if name == "vacuum":
             sp.add_argument("--retain-versions", type=int, default=0)
             sp.add_argument("--retain-s", type=float, default=0.0)
+
+    sp = sub.add_parser("read")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", action="append", default=[],
+                    help="col<op>value predicate (repeatable, AND-ed); "
+                         "ops: = < <= > >=")
+    sp.add_argument("-n", "--limit", type=int, default=None)
+
+    sp = sub.add_parser("changes")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--since", type=int, required=True,
+                    help="exclusive lower version bound")
+    sp.add_argument("--to", type=int, default=None,
+                    help="inclusive upper version bound (default: current)")
 
     sp = sub.add_parser("fetch")
     sp.add_argument("--url", required=True)
@@ -112,6 +154,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     table = LakeTable.load(spark, args.table)
+    if args.cmd == "read":
+        where = _parse_where(args.where) or None
+        if where:
+            kept, pruned = table.files_for(where=where)
+            print(json.dumps({"files_scanned": len(kept), "files_pruned": pruned}),
+                  file=sys.stderr)
+        df = table.read(where=where)
+        if args.limit:
+            df = df.limit(args.limit)
+        for row in df.toJSON().toLocalIterator():
+            print(row)
+        return 0
+    if args.cmd == "changes":
+        for row in table.changes(args.since, args.to).toJSON().toLocalIterator():
+            print(row)
+        return 0
     if args.cmd == "compact":
         print(json.dumps(table.compact()))
     elif args.cmd == "vacuum":

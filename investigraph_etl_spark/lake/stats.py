@@ -29,8 +29,12 @@ in a different file generation than rows that lose, so pruning by a payload
 predicate could drop the winner while keeping a stale loser and flip the
 result. Payload pruning is therefore COW-only; MOR prunes on KEY columns
 only (a key fails a key-predicate in every generation or in none — the
-reduction group is kept or dropped atomically). `prunable_cols` encodes this
-(lake/table.py read()).
+reduction group is kept or dropped atomically), with ONE proven exception:
+``>``/``>=`` predicates on the LWW stamp column itself prune safely because
+the winner carries the key's maximum stamp (see `prune_files` for the
+argument) — which makes the canonical "recent window" query
+(``read(where=[("ts", ">=", cutoff)])``) skip every old generation.
+`prunable_cols`/`monotone_cols` encode this (lake/table.py `_prune_spec`).
 """
 
 from __future__ import annotations
@@ -120,11 +124,14 @@ def _file_can_match(
     stats: Mapping[str, Mapping[str, Any]] | None,
     preds: Iterable[tuple[str, str, Any]],
     prunable_cols: set[str],
+    monotone_cols: frozenset[str] | set[str] = frozenset(),
 ) -> bool:
     if not stats:
         return True
     for col, op, val in preds:
-        if col not in prunable_cols:
+        if col not in prunable_cols and not (
+            col in monotone_cols and op in (">", ">=")
+        ):
             continue
         s = stats.get(col)
         if s is None:
@@ -154,13 +161,26 @@ def prune_files(
     file_stats: Mapping[str, Mapping[str, Mapping[str, Any]]],
     preds: Iterable[tuple[str, str, Any]],
     prunable_cols: set[str],
+    monotone_cols: frozenset[str] | set[str] = frozenset(),
 ) -> tuple[list[str], int]:
-    """Split live files into (kept, n_pruned) under AND-ed predicates."""
+    """Split live files into (kept, n_pruned) under AND-ed predicates.
+
+    ``monotone_cols`` are columns prunable ONLY for ``>`` / ``>=`` — the MOR
+    special case for the LWW stamp column itself. Proof of safety: the LWW
+    winner of a key carries the key's MAXIMUM stamp. If a file is pruned
+    under ``stamp >= v``, every row in it has stamp < v; if the winner's
+    file is among them, then ALL the key's rows have stamp < v, so whatever
+    sub-winner the kept files produce also fails the predicate and the
+    post-scan filter removes it — the key is (correctly) excluded either
+    way. The mirror ops (``<``, ``<=``, ``=``) are NOT safe: they prune the
+    files holding the NEWEST rows, which can hand the reduction to a stale
+    loser that passes the predicate (resurrection).
+    """
     preds = list(preds)
     kept = [
         f
         for f in live_files
-        if _file_can_match(file_stats.get(f), preds, prunable_cols)
+        if _file_can_match(file_stats.get(f), preds, prunable_cols, monotone_cols)
     ]
     return kept, len(live_files) - len(kept)
 

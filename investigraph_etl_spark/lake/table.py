@@ -217,6 +217,21 @@ class LakeTable:
             return {}
         return collect_file_stats(self.fs, self.data_dir, added, stats_cols)
 
+    def _prune_spec(self, st) -> tuple[set, set]:
+        """(fully-prunable cols, monotone-only cols) for this table's mode.
+
+        COW: one version per key on disk — every stats column prunes under
+        any op. MOR: only key columns prune unconditionally (a reduction
+        group fails a key predicate in every generation or in none); the LWW
+        stamp's public face (``ts``) additionally prunes under ``>``/``>=``
+        — see lake/stats.py prune_files for the winner-monotonicity proof.
+        """
+        prunable = set(st.stats_cols)
+        if st.mode != "mor":
+            return prunable, set()
+        monotone = {"ts"} & prunable
+        return prunable & set(st.key_cols), monotone
+
     def files_for(
         self,
         where: list[tuple[str, str, Any]] | None = None,
@@ -228,10 +243,8 @@ class LakeTable:
         if not where:
             return list(st.live_files), 0
         preds = validate_preds(where)
-        prunable = set(st.stats_cols)
-        if st.mode == "mor":
-            prunable &= set(st.key_cols)  # payload pruning unsafe under LWW
-        return prune_files(st.live_files, st.file_stats, preds, prunable)
+        prunable, monotone = self._prune_spec(st)
+        return prune_files(st.live_files, st.file_stats, preds, prunable, monotone)
 
     def _reduce_physical(self, df: DataFrame, physical: T.StructType) -> DataFrame:
         """LWW-reduce physical rows to one winner per key by (_ts, _seq).
@@ -273,10 +286,8 @@ class LakeTable:
         cond = None
         if where:
             preds = validate_preds(where)
-            prunable = set(st.stats_cols)
-            if st.mode == "mor":
-                prunable &= set(st.key_cols)
-            files, _ = prune_files(files, st.file_stats, preds, prunable)
+            prunable, monotone = self._prune_spec(st)
+            files, _ = prune_files(files, st.file_stats, preds, prunable, monotone)
             cond = preds_to_column(preds)
         df = self._read_files(files, schema)
         if st.mode == "mor":

@@ -136,3 +136,28 @@ def test_cli_history_and_vacuum(spark, tmp_path, capsys):
     assert len(lines) >= 3  # create + merge + compaction
     assert cli_main(["vacuum", "--table", root]) == 0
     assert json.loads(capsys.readouterr().out)["files_removed"] > 0
+
+
+def test_cli_read_where_and_changes(spark, tmp_path, capsys):
+    """`read --where` reports pruning and filters; `changes --since` emits
+    the changelog as JSONL."""
+    from investigraph_etl_spark.cdc.apply import apply_events_batch
+
+    root = str(tmp_path / "t")
+    table = LakeTable.create(spark, root, TRANSCRIPT_SCHEMA, n_buckets=4, mode="mor")
+    ev = generate_events(GeneratorConfig(n_events=400, seed=31, n_epochs=2))
+    for e, g in ev.groupby("epoch"):
+        apply_events_batch(
+            table, spark.createDataFrame(g.drop(columns=["epoch"])),
+            app_id="cli", epoch_id=int(e),
+        )
+    assert cli_main(["read", "--table", root, "--where", "turn_idx<=1"]) == 0
+    out = capsys.readouterr()
+    rows = [json.loads(line) for line in out.out.strip().splitlines()]
+    assert rows and all(r["turn_idx"] <= 1 for r in rows)
+    assert '"files_pruned"' in out.err  # pruning report on stderr
+
+    assert cli_main(["changes", "--table", root, "--since", "0"]) == 0
+    ch = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert ch and {c["_change_type"] for c in ch} <= {"upsert", "delete"}
+    assert len({c["_commit_version"] for c in ch}) == 2  # one per epoch

@@ -167,7 +167,7 @@ def test_mor_key_pruning_payload_safety(spark, tmp_table_root):
     # its winner's ts fails the predicate.
     t1h = (T0 + pd.Timedelta("1h")).to_pydatetime()
     kept, pruned = t.files_for(where=[("ts", "<", t1h)])
-    assert pruned == 0  # ts is a stats col, but not prunable under MOR
+    assert pruned == 0  # non-monotone op on the stamp: not prunable under MOR
     got = t.read(where=[("ts", "<", t1h)]).toPandas()
     exp = t.read().filter(f"ts < '{t1h}'").toPandas()
     got_keys = sorted(map(tuple, got[["conv_id", "turn_idx"]].values.tolist()))
@@ -222,3 +222,37 @@ def test_where_rejects_unknown_op(spark, tmp_table_root):
     t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=2)
     with pytest.raises(ValueError):
         t.read(where=[("turn_idx", "!=", 1)])
+
+
+def test_mor_monotone_stamp_pruning(spark, tmp_table_root):
+    """>=/> on the LWW stamp column prunes old MOR generations safely — the
+    'recent window' query — including the late-data trap where a STALE update
+    sits in a NEW generation."""
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA,
+                         n_buckets=2, mode="mor")
+    t.compact_threshold = 10**9
+    # gen 1: ("w", 0) written at +5h — the eventual WINNER, in an OLD file
+    t.merge(_ev(spark, _rows(["w"], [0], T0 + pd.Timedelta("5h"), text="win")
+                + _rows(["x1", "x2"], range(3), T0)), app_id="mono", epoch_id=0)
+    # gen 2: late STALE update to ("w", 0) at +1h (loses LWW) + fresh rows at +10h
+    t.merge(_ev(spark, _rows(["w"], [0], T0 + pd.Timedelta("1h"), text="stale")
+                + _rows(["y1"], range(3), T0 + pd.Timedelta("10h"))),
+            app_id="mono", epoch_id=1)
+
+    cutoff = (T0 + pd.Timedelta("8h")).to_pydatetime()
+    kept, pruned = t.files_for(where=[("ts", ">=", cutoff)])
+    assert pruned > 0  # gen-1 files (max ts +5h) provably fail ts >= +8h
+    _same(t.read(where=[("ts", ">=", cutoff)]),
+          t.read().filter(f"ts >= '{cutoff}'"))
+    got = {r.conv_id for r in t.read(where=[("ts", ">=", cutoff)]).collect()}
+    assert got == {"y1"}  # winner of ("w",0) is +5h < cutoff; stale +1h must not leak
+
+    # the trap the monotone rule exists for: cutoff BELOW the stale row.
+    # Full gen-2 files are kept (bounds span +1h..+10h) and the reduce still
+    # awards ("w",0) to the +5h winner from gen 1, which passes the filter.
+    cutoff2 = (T0 + pd.Timedelta("30m")).to_pydatetime()
+    _same(t.read(where=[("ts", ">=", cutoff2)]),
+          t.read().filter(f"ts >= '{cutoff2}'"))
+    texts = {(r.conv_id, r.turn_idx): r.text
+             for r in t.read(where=[("ts", ">=", cutoff2)]).collect()}
+    assert texts[("w", 0)] == "win"
