@@ -394,6 +394,33 @@ class LakeTable:
             .alias("_commit_version"),
         )
 
+    def consume_changes(self, consumer_id: str):
+        """Consumer-group changelog consumption: ``(df, ack)`` where ``df``
+        is :meth:`changes` since this consumer's last acknowledged version
+        and calling ``ack()`` advances its cursor to the version the batch
+        was cut at.
+
+        The cursor is one tiny JSON object per consumer under
+        ``_consumers/`` (control-plane storage — works on object stores).
+        Crash between processing and ``ack()`` ⇒ the next call redelivers
+        the same window: **at-least-once**, the standard CDC-consumer
+        contract; downstream sinks dedupe idempotently by
+        ``(key, _commit_version)`` exactly as this engine's own ingest
+        dedupes epochs. Independent consumer_ids have independent cursors.
+        """
+        path = join(self.root, "_consumers", f"{consumer_id}.json")
+        last = 0
+        if self.fs.exists(path):
+            last = int(self.fs.get_json(path)["version"])
+        cur = self.version
+        df = self.changes(last, cur)
+
+        def ack() -> int:
+            self.fs.put_json(path, {"version": cur, "consumer": consumer_id})
+            return cur
+
+        return df, ack
+
     def read_physical(self, buckets: list[int] | None = None) -> DataFrame:
         """All physical rows incl. tombstones; optionally pruned to buckets."""
         st = self._state()
@@ -438,7 +465,11 @@ class LakeTable:
     write_fanout: int = 1
 
     def _write_data(
-        self, df: DataFrame, n_buckets: int, n_touched: int | None = None
+        self,
+        df: DataFrame,
+        n_buckets: int,
+        n_touched: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> list[str]:
         """Write df (must contain the bucket col) into data/, return new rel paths.
 
@@ -466,6 +497,13 @@ class LakeTable:
             )
         else:
             out = df.repartition(parts, F.col(_BUCKET_COL))
+        if cluster_by:
+            # Per-task sort before write (no exchange): rows land key-ordered
+            # inside each file, so parquet row-group stats become tight,
+            # disjoint ranges — reader-side row-group pruning on the keys —
+            # and runs of a conversation compress together. Paid only where
+            # requested (compaction, the background op).
+            out = out.sortWithinPartitions(*cluster_by)
         writer = out.write.mode("overwrite")
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
@@ -632,14 +670,20 @@ class LakeTable:
         if need:
             self.compact(buckets=need)
 
-    def compact(self, buckets: list[int] | None = None) -> dict[str, Any]:
+    def compact(
+        self, buckets: list[int] | None = None, cluster: bool = True
+    ) -> dict[str, Any]:
         """Rewrite MOR generations of the given buckets (default: all buckets
         holding more than one file) into a single LWW-reduced generation.
 
         Keeps tombstones (a stale update must still lose after compaction);
         ``vacuum`` reclaims the superseded files. Crash-safe: compaction is a
         pure optimization commit — losing it costs read amplification, never
-        correctness.
+        correctness. ``cluster`` (default) sorts rows by the table key within
+        each task before writing — compacted files get tight, disjoint
+        per-row-group key ranges (reader-side row-group pruning) and whole
+        conversations stored contiguously, at the cost of a per-task sort in
+        the background op.
         """
         st = self._state()
         counts = self._files_per_bucket(st.live_files)
@@ -654,7 +698,12 @@ class LakeTable:
         reduced = self._reduce_physical(df, physical).withColumn(
             _BUCKET_COL, _bucket_expr(st.n_buckets)
         )
-        added = self._write_data(reduced, st.n_buckets, n_touched=len(buckets))
+        added = self._write_data(
+            reduced,
+            st.n_buckets,
+            n_touched=len(buckets),
+            cluster_by=list(st.key_cols) if cluster else None,
+        )
         self.log.commit(
             Commit(
                 version=st.version + 1,

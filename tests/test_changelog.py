@@ -110,3 +110,49 @@ def test_cow_merge_refused_append_allowed(spark, tmp_table_root):
     t.merge(_ev(spark, [_r("update", "a", 0, "y", 1, 2)]), app_id="c", epoch_id=0)
     with pytest.raises(ValueError, match="copy-on-write"):
         t.changes(0)
+
+
+def test_consume_changes_consumer_groups(spark, tmp_table_root):
+    """consume_changes: ack advances the cursor, missing ack redelivers
+    (at-least-once), consumer ids are independent."""
+    t, v1 = _mor(spark, tmp_table_root)
+    df, ack = t.consume_changes("sink-a")
+    assert df.count() == 5  # full history on first consumption
+    assert ack() == t.version
+    df2, ack2 = t.consume_changes("sink-a")
+    assert df2.count() == 0  # nothing new after ack
+
+    # un-acked consumption redelivers the same window
+    df3, _no_ack = t.consume_changes("sink-b")
+    assert df3.count() == 5
+    df4, ack4 = t.consume_changes("sink-b")
+    assert df4.count() == 5  # redelivery
+    ack4()
+
+    # new epoch: both consumers see exactly the delta
+    t.merge(_ev(spark, [_r("insert", "c7", 0, "z", 5, 9)]),
+            app_id="cl", epoch_id=7)
+    for cid in ("sink-a", "sink-b"):
+        d, a = t.consume_changes(cid)
+        rows = d.collect()
+        assert len(rows) == 1 and rows[0].conv_id == "c7"
+        a()
+
+
+def test_compact_clusters_rows_by_key(spark, tmp_table_root):
+    """Clustered compaction writes each file key-sorted (tight per-row-group
+    ranges; conversations contiguous)."""
+    import pandas as pd_
+    t, _ = _mor(spark, tmp_table_root)
+    t.merge(_ev(spark, [_r("insert", f"k{i % 7}", i, "v", 3, 50 + i)
+                        for i in range(40)]), app_id="cl", epoch_id=5)
+    t.compact()
+    st = t._state()
+    for rel in st.live_files:
+        pdf = pd_.read_parquet(f"{t.data_dir}/{rel}")
+        keys = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+        assert keys == sorted(keys), rel
+    # correctness untouched
+    assert t.read().count() > 0
+    live = {(r.conv_id, r.turn_idx) for r in t.read().collect()}
+    assert ("c1", 0) in live and ("c2", 0) not in live  # c2 deleted pre-compact
