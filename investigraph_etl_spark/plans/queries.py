@@ -914,6 +914,63 @@ FROM c
 """
 
 
+def q_quantiles_pricing(spark, sf_dir):
+    """Exact quartiles of extended price per return flag — Spark's
+    ``percentile`` (linear interpolation) is bit-identical to DuckDB
+    ``quantile_cont``. Exact quantiles buffer each group's values in the
+    aggregation state, so they are for BOUNDED group cardinalities (a
+    handful of flags here); at 10^10 rows per group the production face is
+    ``approx_percentile(col, q, accuracy)`` — a fixed-size KLL-style sketch
+    with full map-side partial merge — which has no cross-engine oracle and
+    is therefore not the gate face."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q[0].alias("q25"),
+            q[1].alias("q50"),
+            q[2].alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS q25,
+       quantile_cont(l_extendedprice, 0.5)  AS q50,
+       quantile_cont(l_extendedprice, 0.75) AS q75,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_lag_event_gap(spark, sf_dir):
+    """Per-user inter-event gap via lag() — the session-analysis primitive
+    (ranking/frame/carry-forward windows are covered elsewhere; this pins
+    the offset-window family). Gap in whole seconds, NULL for each user's
+    first event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    gap = (
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(prev.cast("timestamp"))) / F.lit(1_000_000)
+    ).cast("long")
+    return ev.select(
+        "event_id", "user_id", "ts", gap.alias("gap_s")
+    )
+
+
+_LAG_GAP_ORACLE = """
+SELECT event_id, user_id, ts,
+       (epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+FROM events
+"""
+
+
 # ================================================================ registry ===
 
 QUERIES = {
@@ -959,6 +1016,8 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "corpus_curate": q_corpus_curate,
+    "quantiles_pricing": q_quantiles_pricing,
+    "lag_event_gap": q_lag_event_gap,
 }
 
 ORACLES = {
@@ -1006,6 +1065,8 @@ ORACLES = {
     ),
     "corpus_pack": C.pack_sequences_sql(_CORPUS_PACK_INNER, budget=512, n_groups=64),
     "corpus_curate": _CURATE_ORACLE,
+    "quantiles_pricing": _QUANTILES_ORACLE,
+    "lag_event_gap": _LAG_GAP_ORACLE,
 }
 
 
