@@ -297,7 +297,10 @@ class LakeTable:
         return out.filter(cond) if cond is not None else out
 
     def changes(
-        self, since_version: int, to_version: int | None = None
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        with_stamps: bool = False,
     ) -> DataFrame:
         """Incremental changelog: the logical change rows committed in
         versions ``(since_version, to_version]`` — the "CDC out" face of the
@@ -306,7 +309,10 @@ class LakeTable:
         re-scanning 10^10 rows.
 
         Returns the public columns plus ``_change_type`` (``upsert`` |
-        ``delete``) and ``_commit_version``. Cost scales with the DELTA only:
+        ``delete``) and ``_commit_version`` (``with_stamps=True`` adds the
+        LWW stamp columns ``_ts``/``_seq`` — what downstream replication
+        needs to re-apply changes with exact conflict resolution). Cost
+        scales with the DELTA only:
         the commit walk is control-plane, and the scan touches just the files
         those commits added.
 
@@ -357,11 +363,13 @@ class LakeTable:
                 T.StructField(_BUCKET_COL, T.IntegerType(), True),
             ]
         )
+        stamp_cols = ["_ts", "_seq"] if with_stamps else []
         if not token_version:
             empty = self.spark.createDataFrame([], reader_schema)
             public = [f.name for f in schema.fields if f.name not in HIDDEN_COLS]
             return empty.select(
                 *public,
+                *stamp_cols,
                 F.lit("upsert").alias("_change_type"),
                 F.lit(0).cast("long").alias("_commit_version"),
             ).limit(0)
@@ -386,6 +394,7 @@ class LakeTable:
         public = [f.name for f in schema.fields if f.name not in HIDDEN_COLS]
         return df.select(
             *public,
+            *stamp_cols,
             F.when(F.col("_deleted"), F.lit("delete"))
             .otherwise(F.lit("upsert"))
             .alias("_change_type"),
@@ -394,7 +403,7 @@ class LakeTable:
             .alias("_commit_version"),
         )
 
-    def consume_changes(self, consumer_id: str):
+    def consume_changes(self, consumer_id: str, with_stamps: bool = False):
         """Consumer-group changelog consumption: ``(df, ack)`` where ``df``
         is :meth:`changes` since this consumer's last acknowledged version
         and calling ``ack()`` advances its cursor to the version the batch
@@ -413,12 +422,13 @@ class LakeTable:
         if self.fs.exists(path):
             last = int(self.fs.get_json(path)["version"])
         cur = self.version
-        df = self.changes(last, cur)
+        df = self.changes(last, cur, with_stamps=with_stamps)
 
         def ack() -> int:
             self.fs.put_json(path, {"version": cur, "consumer": consumer_id})
             return cur
 
+        ack.window = (last, cur)  # consumed range, pre-ack (replication token)
         return df, ack
 
     def read_physical(self, buckets: list[int] | None = None) -> DataFrame:

@@ -156,3 +156,50 @@ def test_compact_clusters_rows_by_key(spark, tmp_table_root):
     assert t.read().count() > 0
     live = {(r.conv_id, r.turn_idx) for r in t.read().collect()}
     assert ("c1", 0) in live and ("c2", 0) not in live  # c2 deleted pre-compact
+
+
+# ----------------------------------------------------------------- replicate
+def test_replicate_converges_and_is_exactly_once(spark, tmp_path):
+    """src changelog → dst merge: replica equals source after every cycle,
+    crash-before-ack redelivery is harmless, deltas arrive incrementally."""
+    from investigraph_etl_spark.lake.replicate import replicate
+
+    src, _ = _mor(spark, str(tmp_path / "src"))
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), TRANSCRIPT_SCHEMA,
+                           n_buckets=2, mode="mor")
+
+    r1 = replicate(src, dst, "rep")
+    assert not r1.get("skipped")
+
+    def state(t):
+        return {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+
+    assert state(dst) == state(src) == {("c1", 0): "a2", ("c3", 0): "c"}
+
+    # nothing new → skipped, no commit
+    v = dst.version
+    assert replicate(src, dst, "rep")["skipped"] and dst.version == v
+
+    # crash-before-ack: consume without acking, then replicate normally —
+    # the epoch token absorbs the replay
+    df, _no_ack = src.consume_changes("rep2", with_stamps=True)
+    assert df.count() == 5
+    replicate(src, dst, "rep2")  # applies the same history under a new id
+    assert state(dst) == state(src)
+
+    # incremental: one more source epoch, delta-only application
+    src.merge(_ev(spark, [
+        _r("update", "c3", 0, "c9", 8, 11),
+        _r("insert", "c4", 1, "d", 8, 12),
+    ]), app_id="cl", epoch_id=9)
+    r2 = replicate(src, dst, "rep")
+    assert not r2.get("skipped")
+    assert state(dst) == state(src)
+    assert state(dst)[("c3", 0)] == "c9" and ("c4", 1) in state(dst)
+
+    # late stale update upstream must stay resolved identically downstream
+    src.merge(_ev(spark, [_r("update", "c3", 0, "stale", 3, 13)]),
+              app_id="cl", epoch_id=10)
+    replicate(src, dst, "rep")
+    assert state(dst) == state(src)
+    assert state(dst)[("c3", 0)] == "c9"  # +8h beats the late +3h everywhere
