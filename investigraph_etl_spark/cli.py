@@ -85,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         if name == "vacuum":
             sp.add_argument("--retain-versions", type=int, default=0)
             sp.add_argument("--retain-s", type=float, default=0.0)
+            sp.add_argument("--orphan-grace-s", type=float, default=0.0)
 
     sp = sub.add_parser("read")
     sp.add_argument("--table", required=True)
@@ -174,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(table.compact()))
     elif args.cmd == "vacuum":
         print(json.dumps({"files_removed": table.vacuum(
-            retain_versions=args.retain_versions, retain_s=args.retain_s)}))
+            retain_versions=args.retain_versions, retain_s=args.retain_s,
+            orphan_grace_s=args.orphan_grace_s)}))
     elif args.cmd == "metadata":
         print(json.dumps(table.export_metadata()))
     else:

@@ -10,10 +10,12 @@ token already committed and is skipped.
 Scale notes (100 TB): state reconstruction is O(commits since last checkpoint)
 — a checkpoint (full live-file list) is written every ``CHECKPOINT_EVERY``
 commits, so tail replay stays bounded no matter how long the stream runs. The
-log itself is tiny (file names + stats, not data). Single-writer discipline is
-assumed (one streaming query owns a table — north-star keeps it that way);
-atomic O_EXCL creation of the next version file turns a second concurrent
-writer into a clean conflict error instead of corruption.
+log itself is tiny (file names + stats, not data). Concurrency: atomic O_EXCL
+creation of the next version file (a conditional PUT on object stores) makes
+version publication linearizable — a losing concurrent writer gets a clean
+``FileExistsError``, which the table layer turns into an optimistic-concurrency
+retry (``LakeTable._publish``): revalidate against the new head, republish at
+the next version, data files untouched.
 """
 
 from __future__ import annotations
@@ -45,6 +47,9 @@ class Commit:
     # data skipping — lake/stats.py): {rel_path: {col: {min, max, nulls}}}
     stats: dict[str, Any] = field(default_factory=dict)
     stats_cols: list[str] | None = None  # set on the create commit
+    # key-membership skipping config (set on the create commit):
+    # {"col": <key column>, "bits": <bitmap width>} — lake/stats.py keysets
+    keyset: dict[str, Any] | None = None
 
     def to_json(self) -> dict:
         return {
@@ -61,6 +66,7 @@ class Commit:
             "committed_at": self.committed_at,
             "stats": self.stats,
             "stats_cols": self.stats_cols,
+            "keyset": self.keyset,
         }
 
 
@@ -76,6 +82,7 @@ class TableState:
     mode: str = "cow"              # "cow" | "mor"
     file_stats: dict[str, Any] = field(default_factory=dict)  # zone maps
     stats_cols: list[str] = field(default_factory=list)
+    keyset: dict[str, Any] | None = None  # key-membership skipping config
 
 
 class CommitLog:
@@ -136,6 +143,7 @@ class CommitLog:
         commits: list[Commit] = []
         file_stats: dict[str, Any] = {}
         stats_cols: list[str] = []
+        keyset: dict[str, Any] | None = None
 
         start = 0
         cps = [c for c in self._list_checkpoints() if c <= versions[-1]]
@@ -149,6 +157,7 @@ class CommitLog:
             mode = cp.get("mode", "cow")
             file_stats = cp.get("file_stats", {})
             stats_cols = cp.get("stats_cols", [])
+            keyset = cp.get("keyset")
             start = cp["version"]
 
         for v in versions:
@@ -162,6 +171,8 @@ class CommitLog:
             file_stats.update(c.get("stats") or {})
             if c.get("stats_cols") is not None:
                 stats_cols = c["stats_cols"]
+            if c.get("keyset") is not None:
+                keyset = c["keyset"]
             if c.get("schema"):
                 schema = c["schema"]
             if c.get("n_buckets"):
@@ -185,6 +196,7 @@ class CommitLog:
             mode=mode,
             file_stats=file_stats,
             stats_cols=stats_cols,
+            keyset=keyset,
         )
 
     def latest_version(self) -> int:
@@ -236,5 +248,6 @@ class CommitLog:
             ),
             "file_stats": state.file_stats,
             "stats_cols": state.stats_cols,
+            "keyset": state.keyset,
         }
         self.fs.put_json(self._checkpoint_path(version), cp)

@@ -85,6 +85,28 @@ class EpochAlreadyApplied(Exception):
     """Raised (or signalled via merge() return) when an epoch token was already committed."""
 
 
+#: Optimistic-concurrency commit attempts before giving up (pathological
+#: contention — dozens of writers racing on one table).
+MAX_COMMIT_ATTEMPTS = 12
+
+
+class CommitConflict(RuntimeError):
+    """A commit lost the optimistic-concurrency race ``MAX_COMMIT_ATTEMPTS``
+    times in a row. The attempt's data files have been discarded; the table
+    is untouched and the operation can be retried."""
+
+
+class _EpochRace(Exception):
+    """Internal: a concurrent writer committed our (app_id, epoch_id) token
+    while our attempt was in flight — the merge must become a skipped no-op."""
+
+
+class _StaleInputs(Exception):
+    """Internal: a concurrent commit changed the files this operation read
+    (COW rewrite of the same buckets, compaction inputs superseded) — the
+    written output no longer reflects table state and must be recomputed."""
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -527,6 +549,41 @@ class LakeTable:
             if rel.endswith(".parquet") and f"{_BUCKET_COL}=" in rel
         ]
 
+    def _discard_files(self, added: list[str]) -> None:
+        """Delete data files written by a commit attempt that will never be
+        published (lost race, vetoed revalidation). Best-effort — a crash
+        mid-discard leaves orphans that ``vacuum`` reclaims anyway."""
+        for rel in added:
+            try:
+                self.fs.delete(join(self.data_dir, rel))
+            except FileNotFoundError:
+                pass
+        self.fs.prune(self.data_dir)
+
+    def _publish(self, commit: Commit, revalidate) -> int:
+        """Optimistic-concurrency commit (the Delta/Iceberg commit protocol):
+        try the prepared version's exclusive put; when another writer won,
+        re-read state, let ``revalidate(new_state)`` adjust or veto the
+        commit, and republish at the new head. Data files already sit at
+        their final unique-token paths, so every retry is control-plane only
+        — one LIST + one conditional PUT, never a data rewrite.
+
+        ``revalidate`` returns the (possibly adjusted) Commit to publish, or
+        raises ``_EpochRace`` / ``_StaleInputs`` for the caller to translate
+        into a skip or a recompute."""
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            try:
+                self.log.commit(commit)
+                return commit.version
+            except FileExistsError:
+                new_st = self._state()
+                commit = revalidate(new_st)
+                commit.version = new_st.version + 1
+        self._discard_files(commit.added)
+        raise CommitConflict(
+            f"lost the commit race {MAX_COMMIT_ATTEMPTS} times at {self.root}"
+        )
+
     def merge(
         self,
         resolved: DataFrame,
@@ -550,10 +607,42 @@ class LakeTable:
         after the data write and before the log commit — the hook that lets
         apply_events_batch ride its lineage on an Observation of the write
         job instead of a separate aggregation action.
+
+        Concurrent writers are safe (optimistic concurrency, see
+        :meth:`_publish`): a MOR merge is a pure append, so losing the race
+        just republishes the same files at the next version (LWW stamps make
+        epoch order irrelevant); a COW merge whose touched buckets were
+        rewritten underneath it discards its output and recomputes against
+        fresh state; a raced epoch token turns into the same skipped no-op a
+        re-delivered batch gets. Concurrent *schema evolution* merges
+        additively at republish time.
         """
+        extra = extra_metrics
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            status, payload = self._merge_once(resolved, app_id, epoch_id, extra, touched)
+            if status == "done":
+                return payload
+            extra = payload  # callable already evaluated by the aborted attempt
+        raise CommitConflict(
+            f"merge recomputed {MAX_COMMIT_ATTEMPTS} times against concurrent "
+            f"rewrites of the same buckets at {self.root}"
+        )
+
+    def _merge_once(
+        self,
+        resolved: DataFrame,
+        app_id: str | None,
+        epoch_id: int | None,
+        extra_metrics: Any,
+        touched: list[int] | None,
+    ) -> tuple[str, Any]:
         st = self._state()
         if epoch_id is not None and (app_id, epoch_id) in st.committed_epochs:
-            return {"skipped": True, "reason": "epoch already committed", "version": st.version}
+            return "done", {
+                "skipped": True,
+                "reason": "epoch already committed",
+                "version": st.version,
+            }
 
         current = T.StructType.fromJson(st.schema)
         payload_types = [
@@ -623,21 +712,55 @@ class LakeTable:
         if callable(extra_metrics):  # post-write hook (Observation results)
             extra_metrics = extra_metrics()
         metrics = {"buckets_touched": len(touched), **(extra_metrics or {})}
-        self.log.commit(
-            Commit(
-                version=st.version + 1,
-                added=added,
-                removed=removed,
-                schema=physical.jsonValue() if physical != current else None,
-                app_id=app_id,
-                epoch_id=epoch_id,
-                metrics=metrics,
-                stats=self._collect_stats(added, st.stats_cols),
-            )
+        commit = Commit(
+            version=st.version + 1,
+            added=added,
+            removed=removed,
+            schema=physical.jsonValue() if physical != current else None,
+            app_id=app_id,
+            epoch_id=epoch_id,
+            metrics=metrics,
+            stats=self._collect_stats(added, st.stats_cols),
         )
+
+        def revalidate(new_st) -> Commit:
+            if epoch_id is not None and (app_id, epoch_id) in new_st.committed_epochs:
+                raise _EpochRace
+            if st.mode != "mor":
+                # Our rewrite replaced the touched buckets' old files; if a
+                # concurrent commit changed those buckets the rewrite is stale.
+                tset = set(touched)
+                before = {f for f in st.live_files if _bucket_of(f) in tset}
+                after = {f for f in new_st.live_files if _bucket_of(f) in tset}
+                if before != after:
+                    raise _StaleInputs
+            # Re-merge the schema additively on top of whatever the winning
+            # writers committed (parquet is read by name, so files written
+            # under the pre-race column order stay valid).
+            base = T.StructType.fromJson(new_st.schema)
+            try:
+                widened = self._evolve_schema(base, payload_types)
+            except TypeError:
+                self._discard_files(commit.added)
+                raise
+            commit.schema = widened.jsonValue() if widened != base else None
+            return commit
+
+        try:
+            version = self._publish(commit, revalidate)
+        except _EpochRace:
+            self._discard_files(commit.added)
+            return "done", {
+                "skipped": True,
+                "reason": "epoch committed by concurrent writer",
+                "version": self.version,
+            }
+        except _StaleInputs:
+            self._discard_files(commit.added)
+            return "redo", extra_metrics
         if st.mode == "mor":
             self._maybe_compact(touched)
-        return {"skipped": False, "version": st.version + 1, **metrics}
+        return "done", {"skipped": False, "version": version, **metrics}
 
     def _events_to_physical(
         self, events: DataFrame, payload_names: list[str], n_buckets: int
@@ -714,15 +837,29 @@ class LakeTable:
             n_touched=len(buckets),
             cluster_by=list(st.key_cols) if cluster else None,
         )
-        self.log.commit(
-            Commit(
-                version=st.version + 1,
-                added=added,
-                removed=files,
-                metrics={"compaction": True, "buckets": len(buckets)},
-                stats=self._collect_stats(added, st.stats_cols),
-            )
+        commit = Commit(
+            version=st.version + 1,
+            added=added,
+            removed=files,
+            metrics={"compaction": True, "buckets": len(buckets)},
+            stats=self._collect_stats(added, st.stats_cols),
         )
+
+        def revalidate(new_st) -> Commit:
+            # Inputs vanished (concurrent compact/vacuum won): our reduction
+            # no longer covers those buckets — abort, keep the winner's work.
+            # New generations appended concurrently to the same buckets are
+            # fine: they stay live and resolve against our output by stamps.
+            if not set(files) <= set(new_st.live_files):
+                raise _StaleInputs
+            return commit
+
+        try:
+            self._publish(commit, revalidate)
+        except _StaleInputs:
+            self._discard_files(added)
+            return {"compacted_buckets": 0, "files_removed": 0,
+                    "aborted": "inputs superseded by concurrent commit"}
         return {"compacted_buckets": len(buckets), "files_removed": len(files)}
 
     def append(self, df: DataFrame, metrics: dict[str, Any] | None = None) -> dict[str, Any]:
@@ -741,15 +878,14 @@ class LakeTable:
             F.lit(False).alias("_deleted"),
         ).withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
         added = self._write_data(out, st.n_buckets)
-        self.log.commit(
-            Commit(
-                version=st.version + 1,
-                added=added,
-                metrics=metrics or {},
-                stats=self._collect_stats(added, st.stats_cols),
-            )
+        commit = Commit(
+            version=st.version + 1,
+            added=added,
+            metrics=metrics or {},
+            stats=self._collect_stats(added, st.stats_cols),
         )
-        return {"version": st.version + 1, "files_added": len(added)}
+        version = self._publish(commit, lambda new_st: commit)  # pure append: always safe
+        return {"version": version, "files_added": len(added)}
 
     # ------------------------------------------------------------------ maintenance
     def vacuum(
@@ -757,6 +893,7 @@ class LakeTable:
         retain_versions: int = 0,
         retain_s: float = 0.0,
         now: float | None = None,
+        orphan_grace_s: float = 0.0,
     ) -> int:
         """Delete data files referenced by no retained version. Returns count.
 
@@ -770,9 +907,19 @@ class LakeTable:
         Cost is control-plane only: one state reconstruction per retained
         version (each checkpoint-bounded), one LIST of the data prefix — no
         data scan, so this is safe to run on a 10^10-row table.
+
+        Concurrency (the Delta ``VACUUM`` retention rule): committed writers
+        are safe, but an IN-FLIGHT write — files landed, commit not yet
+        published — looks like an orphan, and reclaiming it would let the
+        writer commit references to deleted files. ``orphan_grace_s`` guards
+        this: unreferenced files younger than the grace (storage mtime) are
+        left alone, so any vacuum racing a write that takes less than the
+        grace is safe. The 0.0 default reclaims everything unreferenced —
+        correct only with no in-flight writes.
         """
         st = self._state()
-        cutoff = (time.time() if now is None else now) - retain_s
+        now_s = time.time() if now is None else now
+        cutoff = now_s - retain_s
         retained = {st.version}
         older = [v for v in self.log.versions() if v < st.version]
         retained.update(older[len(older) - retain_versions:] if retain_versions else [])
@@ -785,6 +932,12 @@ class LakeTable:
         removed = 0
         for rel in self.fs.list_files(self.data_dir):
             if rel not in live:
+                if orphan_grace_s:
+                    try:
+                        if now_s - self.fs.mtime(join(self.data_dir, rel)) < orphan_grace_s:
+                            continue  # possibly an in-flight writer's file
+                    except FileNotFoundError:
+                        continue
                 self.fs.delete(join(self.data_dir, rel))  # incl. _SUCCESS markers
                 if rel.endswith(".parquet"):
                     removed += 1

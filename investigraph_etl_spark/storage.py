@@ -35,6 +35,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import time
 from typing import Any, Callable
 
 __all__ = [
@@ -89,6 +90,12 @@ class Storage:
     def size(self, path: str) -> int:
         """Object size in bytes (an object-store HEAD)."""
         return len(self.get_bytes(path))
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time, epoch seconds (object-store HEAD metadata).
+        Vacuum's orphan-grace guard reads this to avoid reclaiming files an
+        in-flight writer landed but has not committed yet."""
+        raise NotImplementedError
 
     def get_range(self, path: str, start: int, length: int) -> bytes:
         """Ranged read (an object-store ranged GET). The generic fallback
@@ -230,6 +237,9 @@ class LocalStorage(Storage):
     def size(self, path: str) -> int:
         return os.path.getsize(self._p(path))
 
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._p(path))
+
     def get_range(self, path: str, start: int, length: int) -> bytes:
         with open(self._p(path), "rb") as f:
             f.seek(start)
@@ -254,6 +264,7 @@ class MemoryStorage(Storage):
 
     def __init__(self) -> None:
         self.objects: dict[str, bytes] = {}
+        self.mtimes: dict[str, float] = {}
         self.ops: list[tuple[str, str]] = []
 
     @staticmethod
@@ -292,10 +303,12 @@ class MemoryStorage(Storage):
         if exclusive and p in self.objects:  # conditional PUT If-None-Match
             raise FileExistsError(path)
         self.objects[p] = data
+        self.mtimes[p] = time.time()
 
     def delete(self, path: str) -> None:
         self.ops.append(("delete", path))
         self.objects.pop(self._p(path), None)
+        self.mtimes.pop(self._p(path), None)
 
     def size(self, path: str) -> int:
         self.ops.append(("head", path))
@@ -308,6 +321,13 @@ class MemoryStorage(Storage):
         self.ops.append(("get_range", path))
         try:
             return self.objects[self._p(path)][start : start + length]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def mtime(self, path: str) -> float:
+        self.ops.append(("head", path))
+        try:
+            return self.mtimes[self._p(path)]
         except KeyError:
             raise FileNotFoundError(path) from None
 
