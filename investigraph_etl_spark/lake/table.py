@@ -37,6 +37,11 @@ Key design decisions, each driven by 100 TB scale:
   before the scan — the Iceberg-manifest-bounds / Delta-file-stats pattern
   (lake/stats.py; MOR prunes key columns only — payload bounds could drop an
   LWW winner).
+- **Key-membership skipping** (opt-in ``keyset_col``): point lookups on
+  hash-like keys defeat interval bounds, so each file additionally records
+  a key bitmap in the commit log (driver-side file pruning) and a parquet
+  column Bloom filter (reader-side row-group pruning) — Iceberg/parquet
+  Bloom parity, at one extra O(batch) pass per commit.
 
 Reference parity for the sink itself: keyed idempotent upsert store
 (/root/reference/investigraph/logic/load.py:25-31) and fragment append
@@ -56,9 +61,12 @@ from pyspark.sql import types as T
 from investigraph_etl_spark.cdc.events import KEY_COLS
 from investigraph_etl_spark.lake.log import Commit, CommitLog
 from investigraph_etl_spark.lake.stats import (
+    KEYSET_KEY,
     collect_file_stats,
+    pack_keyset,
     preds_to_column,
     prune_files,
+    prune_files_keyset,
     validate_preds,
 )
 from investigraph_etl_spark.storage import join, storage_for
@@ -126,6 +134,9 @@ class LakeTable:
         key_cols: tuple[str, ...] = KEY_COLS,
         mode: str = "cow",
         stats_cols: tuple[str, ...] | None = None,
+        keyset_col: str | None = None,
+        keyset_bits: int = 16384,
+        keyset_bloom_ndv: int = 100_000,
     ) -> "LakeTable":
         """Create an empty table (commit 1 = schema + layout + mode, no files).
 
@@ -134,6 +145,17 @@ class LakeTable:
         GET per new file) and used by ``read(where=...)`` to skip files
         (lake/stats.py). Default: the key columns + ``ts``. Pass ``()`` to
         disable stats collection.
+
+        ``keyset_col``: opt-in key-membership skipping for point lookups.
+        Zone maps cannot prune ``conv_id = x`` — hash-distributed keys span
+        ~the full min/max range in every file — so each write additionally
+        records a per-file key bitmap (``keyset_bits`` wide, default 2 KB in
+        the log; see lake/stats.py pack_keyset) that ``read(where=[(col,
+        "=", v)])`` uses to keep only files that may contain the key, and
+        data files get parquet column Bloom filters on the same column so
+        Spark's scan skips row groups inside kept files. Costs one extra
+        column-pruned O(batch) pass per commit — enable it on tables served
+        for point lookups, leave it off for pure-ingest throughput.
 
         ``mode``:
 
@@ -162,6 +184,8 @@ class LakeTable:
         )
         if stats_cols is None:
             stats_cols = tuple(key_cols) + (("ts",) if "ts" in schema.names else ())
+        if keyset_col is not None and keyset_col not in schema.names:
+            raise ValueError(f"keyset_col {keyset_col!r} not in schema")
         t.log.commit(
             Commit(
                 version=1,
@@ -170,6 +194,12 @@ class LakeTable:
                 key_cols=list(key_cols),
                 mode=mode,
                 stats_cols=list(stats_cols),
+                keyset=(
+                    {"col": keyset_col, "bits": int(keyset_bits),
+                     "ndv": int(keyset_bloom_ndv)}
+                    if keyset_col is not None
+                    else None
+                ),
             )
         )
         return t
@@ -230,14 +260,62 @@ class LakeTable:
         df = df.drop(_COMMIT_COL)
         return df if with_bucket else df.drop(_BUCKET_COL)
 
-    def _collect_stats(self, added: list[str], stats_cols: list[str]) -> dict:
+    def _collect_stats(
+        self,
+        added: list[str],
+        stats_cols: list[str],
+        keyset: dict[str, Any] | None = None,
+    ) -> dict:
         """Zone maps for freshly written files: one parquet-footer read per
         file through the storage interface (ranged GETs — O(KB) per file,
         driver-side, same cost class as the manifest LIST). Recorded in the
-        commit so ``read(where=...)`` can skip files without data-plane I/O."""
-        if not stats_cols or not added:
-            return {}
-        return collect_file_stats(self.fs, self.data_dir, added, stats_cols)
+        commit so ``read(where=...)`` can skip files without data-plane I/O.
+
+        When the table has a ``keyset`` config, each file additionally gets
+        its key-membership bitmap (one extra column-pruned Spark pass over
+        the files just written — O(batch), opt-in at create)."""
+        out: dict = {}
+        if stats_cols and added:
+            out = collect_file_stats(self.fs, self.data_dir, added, stats_cols)
+        if keyset and added:
+            for rel, entry in self._collect_keysets(added, keyset).items():
+                out.setdefault(rel, {})[KEYSET_KEY] = entry
+        return out
+
+    def _collect_keysets(self, added: list[str], ks: dict[str, Any]) -> dict:
+        """Per-file key bitmaps for freshly written files: ONE aggregation
+        over just those files, reading only the key column (column-pruned
+        scan), grouped by source file — the per-commit cost of membership
+        skipping."""
+        n_bits = int(ks["bits"])
+        paths = [join(self.data_dir, rel) for rel in added]
+        rows = (
+            self.spark.read.parquet(*paths)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.pmod(F.xxhash64(F.col(ks["col"])), F.lit(n_bits))
+                .cast("int")
+                .alias("_b"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_b").alias("_bits"))
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            rel = next((a for a in added if r._f.endswith(a)), None)
+            if rel is not None:
+                out[rel] = {"n": n_bits, "b64": pack_keyset(r._bits, n_bits)}
+        return out
+
+    def _keyset_bit(self, value: Any, n_bits: int) -> int:
+        """Bitmap position of a lookup literal — computed BY Spark so it is
+        bit-identical to the write-side ``xxhash64`` (a 1-row driver job)."""
+        return (
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(value)), F.lit(n_bits)).cast("int"))
+            .first()[0]
+        )
 
     def _prune_spec(self, st) -> tuple[set, set]:
         """(fully-prunable cols, monotone-only cols) for this table's mode.
@@ -254,19 +332,32 @@ class LakeTable:
         monotone = {"ts"} & prunable
         return prunable & set(st.key_cols), monotone
 
+    def _pruned_files(self, st, preds) -> tuple[list[str], int]:
+        """Zone-map pruning, then key-membership pruning for ``=`` predicates
+        on the keyset column (both MOR-safe; lake/stats.py for the proofs)."""
+        prunable, monotone = self._prune_spec(st)
+        files, n = prune_files(st.live_files, st.file_stats, preds, prunable, monotone)
+        if st.keyset:
+            col, bits = st.keyset["col"], int(st.keyset["bits"])
+            for pcol, op, val in preds:
+                if pcol == col and op == "=" and val is not None:
+                    files, n2 = prune_files_keyset(
+                        files, st.file_stats, self._keyset_bit(val, bits)
+                    )
+                    n += n2
+        return files, n
+
     def files_for(
         self,
         where: list[tuple[str, str, Any]] | None = None,
         at_version: int | None = None,
     ) -> tuple[list[str], int]:
-        """(files read(where=...) would scan, number pruned by zone maps) —
-        the observability/test surface for data skipping."""
+        """(files read(where=...) would scan, number pruned by zone maps and
+        key bitmaps) — the observability/test surface for data skipping."""
         st = self._state(at_version)
         if not where:
             return list(st.live_files), 0
-        preds = validate_preds(where)
-        prunable, monotone = self._prune_spec(st)
-        return prune_files(st.live_files, st.file_stats, preds, prunable, monotone)
+        return self._pruned_files(st, validate_preds(where))
 
     def _reduce_physical(self, df: DataFrame, physical: T.StructType) -> DataFrame:
         """LWW-reduce physical rows to one winner per key by (_ts, _seq).
@@ -308,8 +399,7 @@ class LakeTable:
         cond = None
         if where:
             preds = validate_preds(where)
-            prunable, monotone = self._prune_spec(st)
-            files, _ = prune_files(files, st.file_stats, preds, prunable, monotone)
+            files, _ = self._pruned_files(st, preds)
             cond = preds_to_column(preds)
         df = self._read_files(files, schema)
         if st.mode == "mor":
@@ -502,6 +592,7 @@ class LakeTable:
         n_buckets: int,
         n_touched: int | None = None,
         cluster_by: list[str] | None = None,
+        bloom_keyset: dict | None = None,
     ) -> list[str]:
         """Write df (must contain the bucket col) into data/, return new rel paths.
 
@@ -539,6 +630,20 @@ class LakeTable:
         writer = out.write.mode("overwrite")
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        if bloom_keyset:
+            # Parquet column Bloom filter (keyset tables): Spark's reader
+            # skips row groups on `col = v` pushdown inside files the
+            # commit-log bitmap kept — the second tier of point-lookup I/O.
+            # NDV must be set: parquet-mr's default sizes the filter for
+            # ~1M distinct values (1 MB per file regardless of content).
+            col = bloom_keyset["col"]
+            writer = (
+                writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                .option(
+                    f"parquet.bloom.filter.expected.ndv#{col}",
+                    str(bloom_keyset.get("ndv", 100_000)),
+                )
+            )
         writer.partitionBy(_BUCKET_COL).parquet(dest)
 
         # ONE recursive LIST of the fresh token's prefix builds the manifest
@@ -683,6 +788,7 @@ class LakeTable:
                 out,
                 st.n_buckets,
                 n_touched=len(touched) if touched is not None else None,
+                bloom_keyset=st.keyset,
             )
             if touched is None:  # free: the written paths name the buckets
                 touched = sorted({_bucket_of(f) for f in added})
@@ -705,7 +811,8 @@ class LakeTable:
 
             merged = resolve_lww(existing_ev.unionByName(batch_ev))
             out = self._events_to_physical(merged, payload_names, st.n_buckets)
-            added = self._write_data(out, st.n_buckets, n_touched=len(touched))
+            added = self._write_data(out, st.n_buckets, n_touched=len(touched),
+                                     bloom_keyset=st.keyset)
             removed_set = set(touched)
             removed = [f for f in st.live_files if _bucket_of(f) in removed_set]
 
@@ -720,7 +827,7 @@ class LakeTable:
             app_id=app_id,
             epoch_id=epoch_id,
             metrics=metrics,
-            stats=self._collect_stats(added, st.stats_cols),
+            stats=self._collect_stats(added, st.stats_cols, st.keyset),
         )
 
         def revalidate(new_st) -> Commit:
@@ -836,13 +943,14 @@ class LakeTable:
             st.n_buckets,
             n_touched=len(buckets),
             cluster_by=list(st.key_cols) if cluster else None,
+            bloom_keyset=st.keyset,
         )
         commit = Commit(
             version=st.version + 1,
             added=added,
             removed=files,
             metrics={"compaction": True, "buckets": len(buckets)},
-            stats=self._collect_stats(added, st.stats_cols),
+            stats=self._collect_stats(added, st.stats_cols, st.keyset),
         )
 
         def revalidate(new_st) -> Commit:
@@ -877,12 +985,13 @@ class LakeTable:
             F.lit(-1).cast("long").alias("_seq"),
             F.lit(False).alias("_deleted"),
         ).withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
-        added = self._write_data(out, st.n_buckets)
+        added = self._write_data(out, st.n_buckets,
+                                 bloom_keyset=st.keyset)
         commit = Commit(
             version=st.version + 1,
             added=added,
             metrics=metrics or {},
-            stats=self._collect_stats(added, st.stats_cols),
+            stats=self._collect_stats(added, st.stats_cols, st.keyset),
         )
         version = self._publish(commit, lambda new_st: commit)  # pure append: always safe
         return {"version": version, "files_added": len(added)}
