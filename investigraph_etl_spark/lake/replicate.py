@@ -37,6 +37,24 @@ from investigraph_etl_spark.cdc.resolve import resolve_lww
 from investigraph_etl_spark.lake.table import LakeTable
 
 
+def _changes_to_events(df):
+    """Stamped changelog rows → the engine's event shape (op, key, payload,
+    ts, seq), with the SOURCE's LWW stamps as the event stamps so downstream
+    resolution reproduces upstream decisions exactly."""
+    payload = [
+        c
+        for c in df.columns
+        if c not in {*KEY_COLS, "ts", "_ts", "_seq", "_change_type", "_commit_version"}
+    ]
+    return df.select(
+        F.col("_change_type").alias("op"),
+        *KEY_COLS,
+        *payload,
+        F.col("_ts").alias("ts"),
+        F.col("_seq").alias("seq"),
+    )
+
+
 def replicate(
     src: LakeTable, dst: LakeTable, consumer_id: str = "replica"
 ) -> dict[str, Any]:
@@ -46,21 +64,55 @@ def replicate(
     last, cur = ack.window
     if cur <= last:
         return {"skipped": True, "reason": "no new commits"}
-
-    payload = [
-        c
-        for c in df.columns
-        if c not in {*KEY_COLS, "ts", "_ts", "_seq", "_change_type", "_commit_version"}
-    ]
-    events = df.select(
-        F.col("_change_type").alias("op"),
-        *KEY_COLS,
-        *payload,
-        F.col("_ts").alias("ts"),
-        F.col("_seq").alias("seq"),
-    )
     res = dst.merge(
-        resolve_lww(events), app_id=f"replica:{consumer_id}", epoch_id=cur
+        resolve_lww(_changes_to_events(df)),
+        app_id=f"replica:{consumer_id}",
+        epoch_id=cur,
     )
     ack()
     return {**res, "window": [last, cur]}
+
+
+def replicate_stream(
+    spark,
+    src_root: str,
+    dst: LakeTable,
+    checkpoint: str,
+    consumer_id: str = "replica",
+    trigger: dict[str, Any] | None = None,
+):
+    """CONTINUOUS replication: follow the source's changelog as a Structured
+    Streaming source (lake/stream_source.py) and apply each micro-batch to
+    ``dst``. Returns the started StreamingQuery.
+
+    Exactly-once stacks three independent guards: the query checkpoint pins
+    which commit-version window each micro-batch covered (no re-read after
+    restart), the ``(app_id, batch_id)`` token makes a re-delivered batch a
+    recorded no-op, and LWW merge is idempotent anyway — the same discipline
+    as the primary ingest path, so replica state is exact under any crash.
+    """
+    from investigraph_etl_spark.lake import stream_source
+
+    stream_source.register(spark)
+    src = (
+        spark.readStream.format("lake_changes")
+        .option("path", src_root)
+        .option("with_stamps", "true")
+        .load()
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():  # idle trigger — no commit, no empty files
+            return
+        dst.merge(
+            resolve_lww(_changes_to_events(batch_df)),
+            app_id=f"replica-stream:{consumer_id}",
+            epoch_id=batch_id,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()

@@ -761,6 +761,52 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_pricing(spark, sf_dir):
+    """Full grouping-sets lattice (CUBE): totals per (returnflag,
+    linestatus), per each dimension alone, and the grand total — one pass
+    over the data (Spark Expand + partial agg), not one re-scan per set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_stringagg_regions(spark, sf_dir):
+    """Ordered string aggregation (the LISTAGG/string_agg surface): per
+    region, the alphabetized ';'-joined nation roster. collect_list →
+    array_sort → array_join keeps the result deterministic (bare collect
+    order is partition-dependent) and stays all-Catalyst; the dimension
+    join is an explicit broadcast."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ";").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_STRINGAGG_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ';' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_asof_last_click(spark, sf_dir):
     """As-of join (absent in both the reference and core Spark — SURVEY
     §2.2): for each purchase event, the same user's most recent click at or
@@ -1011,6 +1057,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "rollup_pricing": q_rollup_pricing,
+    "cube_pricing": q_cube_pricing,
+    "stringagg_regions": q_stringagg_regions,
     "asof_last_click": q_asof_last_click,
     "corpus_chunks": q_corpus_chunks,
     "corpus_sample": q_corpus_sample,
@@ -1058,6 +1106,8 @@ ORACLES = {
     "multimodal_decode": M.decode_images_sql(),
     "pivot_user_event_counts": _PIVOT_ORACLE,
     "rollup_pricing": _ROLLUP_ORACLE,
+    "cube_pricing": _CUBE_ORACLE,
+    "stringagg_regions": _STRINGAGG_ORACLE,
     "asof_last_click": _ASOF_ORACLE,
     "corpus_chunks": C.chunk_tokens_sql(k=64),
     "corpus_sample": C.sample_hash_sql(
