@@ -114,6 +114,17 @@ AUDITED: dict[str, str] = {
         "`Exchange`; every gate (lang/quality/sample) is a scan-stage "
         "`Filter` and chunking is a narrow `Generate` (explode)."
     ),
+    "cube_pricing": (
+        "ONE `Expand` node feeding a single partial+final HashAggregate — "
+        "the whole grouping-set lattice in one pass over the scan, never one "
+        "re-read per set; the decimal sum stays exact through the partials."
+    ),
+    "stringagg_regions": (
+        "`BroadcastHashJoin` on the region dimension (nation is never "
+        "shuffled for the join); ONE hash-agg keyed on region; ordering "
+        "comes from per-group `array_sort`, so there is no global `Sort` "
+        "and no `Exchange rangepartitioning`."
+    ),
 }
 
 
