@@ -110,6 +110,48 @@ def test_cow_merge_commit_refused(spark, tmp_path):
          .option("path", str(tmp_path / "t")).load().collect())
 
 
+def test_replicate_stream_live_follow(spark, tmp_path):
+    """Processing-time mode: the replica follows commits made WHILE the
+    query runs — inserts and deletes arrive across multiple triggers with
+    no restarts, and idle triggers commit nothing."""
+    import time
+
+    from investigraph_etl_spark.lake.replicate import replicate_stream
+
+    src = _mor(spark, str(tmp_path / "src"))
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), TRANSCRIPT_SCHEMA,
+                           n_buckets=2, mode="mor")
+
+    def state(t):
+        return {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+
+    q = replicate_stream(spark, str(tmp_path / "src"), dst,
+                         str(tmp_path / "ckpt"), consumer_id="live",
+                         trigger={"processingTime": "1 second"})
+    try:
+        def wait_until(pred, timeout=120):
+            deadline = time.time() + timeout
+            while not pred():
+                assert time.time() < deadline, "replica stalled"
+                assert q.isActive, f"query died: {q.exception()}"
+                time.sleep(0.3)
+
+        wait_until(lambda: state(dst) == state(src))
+        src.merge(_ev(spark, [_r("insert", "c5", 0, "live", 4, 9)]),
+                  app_id="x", epoch_id=5)
+        wait_until(lambda: ("c5", 0) in state(dst))
+        src.merge(_ev(spark, [_r("delete", "c5", 0, None, 5, 10)]),
+                  app_id="x", epoch_id=6)
+        wait_until(lambda: ("c5", 0) not in state(dst)
+                   and state(dst) == state(src))
+        # idle triggers between the waves committed nothing on the replica:
+        # one create + exactly one commit per non-empty micro-batch
+        n_data_commits = len([c for c in dst.history() if c["added"]])
+        assert n_data_commits <= 3
+    finally:
+        q.stop()
+
+
 def test_replicate_stream_converges_and_resumes(spark, tmp_path):
     from investigraph_etl_spark.lake.replicate import replicate_stream
 
