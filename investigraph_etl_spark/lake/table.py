@@ -553,10 +553,28 @@ class LakeTable:
         return self._read_files(files, T.StructType.fromJson(st.schema))
 
     # ------------------------------------------------------------------ write
+    #: Permitted lossless type promotions (Iceberg's widening set): integral
+    #: rank upward, float→double. Old data files keep their narrow physical
+    #: type — Spark 4's parquet readers read them under the widened schema
+    #: directly (SPARK-40876 type promotion), so widening is a pure
+    #: commit-log schema change with zero data rewrite.
+    _INT_RANK = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+    _FLOAT_RANK = {T.FloatType: 0, T.DoubleType: 1}
+
+    @classmethod
+    def _widens(cls, frm: T.DataType, to: T.DataType) -> bool:
+        for ranks in (cls._INT_RANK, cls._FLOAT_RANK):
+            if type(frm) in ranks and type(to) in ranks:
+                return ranks[type(frm)] < ranks[type(to)]
+        return False
+
     def _evolve_schema(
         self, current: T.StructType, batch_cols: list[tuple[str, T.DataType]]
     ) -> T.StructType:
-        """Additively widen the physical schema with new payload columns."""
+        """Widen the physical schema with new payload columns (additive) and
+        lossless type promotions (int→long, float→double — ``_widens``).
+        A batch NARROWER than the table is fine too (it casts up at write).
+        Anything else — type change across families, drops — is rejected."""
         names = {f.name for f in current.fields}
         fields = list(current.fields)
         hidden = [f for f in fields if f.name in HIDDEN_COLS]
@@ -568,11 +586,19 @@ class LakeTable:
                 continue
             if name in names:
                 existing = current[name].dataType
-                if existing != dtype:
-                    raise TypeError(
-                        f"schema evolution is additive-only: column {name!r} is "
-                        f"{existing.simpleString()}, batch has {dtype.simpleString()}"
-                    )
+                if existing == dtype or self._widens(dtype, existing):
+                    continue  # identical, or narrower batch → casts up
+                if self._widens(existing, dtype):
+                    visible = [
+                        T.StructField(name, dtype, True) if f.name == name else f
+                        for f in visible
+                    ]
+                    continue
+                raise TypeError(
+                    f"schema evolution is additive/widening-only: column "
+                    f"{name!r} is {existing.simpleString()}, batch has "
+                    f"{dtype.simpleString()}"
+                )
             else:
                 visible.append(T.StructField(name, dtype, True))
         return T.StructType(visible + hidden)
