@@ -87,6 +87,18 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--retain-s", type=float, default=0.0)
             sp.add_argument("--orphan-grace-s", type=float, default=0.0)
 
+    sp = sub.add_parser("delete-where")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True,
+                    help="SQL condition over the public schema; matching "
+                         "live keys are tombstoned (logical GDPR delete)")
+    sp.add_argument("--app-id", default=None)
+    sp.add_argument("--epoch-id", type=int, default=None)
+
+    sp = sub.add_parser("rebucket")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--n-buckets", type=int, required=True)
+
     sp = sub.add_parser("read")
     sp.add_argument("--table", required=True)
     sp.add_argument("--where", action="append", default=[],
@@ -171,7 +183,12 @@ def main(argv: list[str] | None = None) -> int:
         for row in table.changes(args.since, args.to).toJSON().toLocalIterator():
             print(row)
         return 0
-    if args.cmd == "compact":
+    if args.cmd == "delete-where":
+        print(json.dumps(table.delete_where(
+            args.where, app_id=args.app_id, epoch_id=args.epoch_id)))
+    elif args.cmd == "rebucket":
+        print(json.dumps(table.rebucket(args.n_buckets)))
+    elif args.cmd == "compact":
         print(json.dumps(table.compact()))
     elif args.cmd == "vacuum":
         print(json.dumps({"files_removed": table.vacuum(

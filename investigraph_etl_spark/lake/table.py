@@ -996,6 +996,89 @@ class LakeTable:
                     "aborted": "inputs superseded by concurrent commit"}
         return {"compacted_buckets": len(buckets), "files_removed": len(files)}
 
+    def delete_where(
+        self,
+        cond,
+        app_id: str | None = None,
+        epoch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Targeted logical delete — the GDPR / right-to-be-forgotten face:
+        tombstone every LIVE key whose current row matches ``cond`` (a SQL
+        string or Column over the public schema).
+
+        Deliberately a NORMAL merge of delete events stamped with the
+        current time, so it composes with everything else the engine
+        guarantees: the rows vanish from ``read()`` immediately, the
+        deletes flow through the changelog / ``lake_changes`` stream and
+        replicate downstream with exact stamps, late stale updates cannot
+        resurrect the turns (tombstone wins LWW), and an ``(app_id,
+        epoch_id)`` token makes the call exactly-once under retry. Physical
+        erasure of the old bytes is ``compact()`` + ``vacuum()`` — the
+        documented two-step purge.
+        """
+        keys = self.read().filter(cond).select(*KEY_COLS)
+        events = keys.select(
+            F.lit("delete").alias("op"),
+            *KEY_COLS,
+            F.current_timestamp().alias("ts"),
+            F.lit(2**62).alias("seq"),  # beats any generator/replica seq at same ts
+        )
+        from investigraph_etl_spark.cdc.resolve import resolve_lww
+
+        res = self.merge(resolve_lww(events), app_id=app_id, epoch_id=epoch_id)
+        return res
+
+    def rebucket(self, n_buckets: int, cluster: bool = True) -> dict[str, Any]:
+        """Change the hash-bucket layout (partition-spec evolution): ONE
+        full-rewrite commit that LWW-reduces every live row (tombstones
+        kept, like compaction), rewrites under the new bucket count, and
+        swaps the layout atomically — readers at older versions still see
+        the old layout (time travel), and ``changes()``/the stream treat it
+        as physical-only exactly like compaction. The one intentionally
+        O(table) maintenance op: re-keying data movement cannot be avoided
+        when the partition spec changes.
+        """
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        st = self._state()
+        physical = T.StructType.fromJson(st.schema)
+        df = self._read_files(st.live_files, physical)
+        reduced = self._reduce_physical(df, physical).withColumn(
+            _BUCKET_COL, _bucket_expr(n_buckets)
+        )
+        added = self._write_data(
+            reduced,
+            n_buckets,
+            cluster_by=list(st.key_cols) if cluster else None,
+            bloom_keyset=st.keyset,
+        )
+        commit = Commit(
+            version=st.version + 1,
+            added=added,
+            removed=list(st.live_files),
+            n_buckets=n_buckets,
+            # "compaction" marks it physical-only for every changelog
+            # classifier; "rebucket" records the layout change for history
+            metrics={"compaction": True, "rebucket": n_buckets},
+            stats=self._collect_stats(added, st.stats_cols, st.keyset),
+        )
+
+        def revalidate(new_st) -> Commit:
+            # any concurrent commit (new data, compaction) invalidates a
+            # whole-table rewrite — abort rather than drop the winner's rows
+            if set(new_st.live_files) != set(st.live_files):
+                raise _StaleInputs
+            return commit
+
+        try:
+            self._publish(commit, revalidate)
+        except _StaleInputs:
+            self._discard_files(added)
+            return {"rebucketed": False,
+                    "aborted": "concurrent commit during rebucket"}
+        return {"rebucketed": True, "n_buckets": n_buckets,
+                "files_written": len(added)}
+
     def append(self, df: DataFrame, metrics: dict[str, Any] | None = None) -> dict[str, Any]:
         """Blind append (initial bulk load path): rows must match public schema;
         stamps default to (ts, -1), live."""
