@@ -1079,10 +1079,21 @@ class LakeTable:
         return {"rebucketed": True, "n_buckets": n_buckets,
                 "files_written": len(added)}
 
-    def append(self, df: DataFrame, metrics: dict[str, Any] | None = None) -> dict[str, Any]:
+    def append(
+        self,
+        df: DataFrame,
+        metrics: dict[str, Any] | None = None,
+        app_id: str | None = None,
+        epoch_id: int | None = None,
+    ) -> dict[str, Any]:
         """Blind append (initial bulk load path): rows must match public schema;
-        stamps default to (ts, -1), live."""
+        stamps default to (ts, -1), live. An optional ``(app_id, epoch_id)``
+        token gives bulk-load chunks the same exactly-once retry semantics
+        as MERGE epochs (a re-driven load step is a recorded no-op)."""
         st = self._state()
+        if epoch_id is not None and (app_id, epoch_id) in st.committed_epochs:
+            return {"skipped": True, "reason": "epoch already committed",
+                    "version": st.version}
         physical = T.StructType.fromJson(st.schema)
         out = df.select(
             *[
@@ -1099,10 +1110,24 @@ class LakeTable:
         commit = Commit(
             version=st.version + 1,
             added=added,
+            app_id=app_id,
+            epoch_id=epoch_id,
             metrics=metrics or {},
             stats=self._collect_stats(added, st.stats_cols, st.keyset),
         )
-        version = self._publish(commit, lambda new_st: commit)  # pure append: always safe
+
+        def revalidate(new_st) -> Commit:
+            if epoch_id is not None and (app_id, epoch_id) in new_st.committed_epochs:
+                raise _EpochRace
+            return commit  # otherwise a pure append: always safe to republish
+
+        try:
+            version = self._publish(commit, revalidate)
+        except _EpochRace:
+            self._discard_files(commit.added)
+            return {"skipped": True,
+                    "reason": "epoch committed by concurrent writer",
+                    "version": self.version}
         return {"version": version, "files_added": len(added)}
 
     # ------------------------------------------------------------------ maintenance

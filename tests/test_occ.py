@@ -190,3 +190,22 @@ def test_append_race_republishes(spark, tmp_path):
     res = a.append(spark.createDataFrame(rows("c1", "A")))
     assert res["version"] == 3  # republished after losing version 2
     assert _state(a) == {("c1", 0): "A", ("c2", 0): "B"}
+
+
+def test_append_epoch_token_exactly_once(spark, tmp_path):
+    a, b = _two_handles(spark, str(tmp_path / "t"), "cow")
+    pdf = pd.DataFrame([{"conv_id": "c1", "turn_idx": 0, "role": "user",
+                         "text": "bulk", "tool": None, "ts": T0}])
+    r1 = a.append(spark.createDataFrame(pdf), app_id="load", epoch_id=3)
+    assert not r1.get("skipped")
+    # re-driven load step: recorded no-op before any work
+    r2 = a.append(spark.createDataFrame(pdf), app_id="load", epoch_id=3)
+    assert r2["skipped"] and a.version == r1["version"]
+    assert len(_state(a)) == 1
+    # raced token: B lands the same chunk while A's attempt is in flight
+    pdf2 = pdf.assign(conv_id="c2")
+    _inject_before_publish(a, lambda: b.append(
+        spark.createDataFrame(pdf2), app_id="load", epoch_id=4))
+    r3 = a.append(spark.createDataFrame(pdf2), app_id="load", epoch_id=4)
+    assert r3["skipped"] and "concurrent" in r3["reason"]
+    assert _on_disk(a) == set(a._state().live_files)  # loser's files discarded
