@@ -217,20 +217,33 @@ def _make_datasource_classes():
         def __init__(self, options, schema):
             self.path = options["path"]
             self.since = int(options.get("since_version", 0))
+            # maxFilesPerTrigger analog: cap each micro-batch at this many
+            # COMMITS, so a query starting against a long backlog (or
+            # resuming after downtime) drains it in bounded batches instead
+            # of one unbounded first batch. 0 = unbounded.
+            self.max_commits = int(options.get("max_commits_per_trigger", 0))
             self.schema_bytes = _arrow_schema_bytes(schema)
+            self._progress = self.since  # highest window edge seen
 
         def initialOffset(self) -> dict:
             return {"version": self.since}
 
         def latestOffset(self) -> dict:
-            return {"version": _log(self.path).latest_version()}
+            cur = _log(self.path).latest_version()
+            if self.max_commits:
+                cur = min(cur, self._progress + self.max_commits)
+            return {"version": max(cur, self._progress)}
 
         def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+            s, e = int(start["version"]), int(end["version"])
+            # learn real progress from every planned window (incl. a replayed
+            # checkpoint batch after restart), so the cap advances from the
+            # true position; an inverted window (possible for one trigger
+            # right after restart, before progress is relearned) is empty
+            self._progress = max(self._progress, s, e)
             return [
                 _Part(_ChangeFile(self.path, f, v, self.schema_bytes))
-                for f, v in _window_files(
-                    self.path, int(start["version"]), int(end["version"])
-                )
+                for f, v in _window_files(self.path, s, e)
             ]
 
         def read(self, partition):
@@ -245,6 +258,8 @@ def _make_datasource_classes():
     class LakeChangesDataSource(DataSource):
         """``format("lake_changes")``: options ``path`` (table root),
         ``with_stamps`` ("true" adds ``_ts``/``_seq``), ``since_version``,
+        ``max_commits_per_trigger`` (streaming: bound each micro-batch's
+        commit count — the maxFilesPerTrigger analog for backlog drains),
         and (batch only) ``to_version``."""
 
         @classmethod

@@ -88,6 +88,39 @@ def test_stream_resumes_delta_only_from_checkpoint(spark, tmp_path):
     assert seen == [("c3", "upsert", 4)]
 
 
+def test_max_commits_per_trigger_drains_backlog_in_bounded_batches(spark, tmp_path):
+    """A query against a 3-commit backlog with max_commits_per_trigger=1
+    drains it across ≥3 micro-batches, each carrying one commit's rows."""
+    import time
+
+    t = _mor(spark, str(tmp_path / "t"))
+    t.merge(_ev(spark, [_r("insert", "c3", 0, "c", 2, 5)]), app_id="x", epoch_id=2)
+    stream_source.register(spark)
+    batches: list[set] = []
+
+    def sink(df, eid):
+        vs = {r._commit_version for r in df.collect()}
+        if vs:
+            batches.append(vs)
+
+    q = (spark.readStream.format("lake_changes")
+         .option("path", str(tmp_path / "t"))
+         .option("max_commits_per_trigger", "1").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = time.time() + 120
+        while sum(len(b) for b in batches) < 3:
+            assert time.time() < deadline, f"stalled: {batches}"
+            assert q.isActive, f"query died: {q.exception()}"
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    assert all(len(b) == 1 for b in batches)  # one commit per micro-batch
+    assert sorted(v for b in batches for v in b) == [2, 3, 4]
+
+
 def test_schema_evolution_null_fills_older_files(spark, tmp_table_root):
     t = _mor(spark, tmp_table_root)
     t.merge(_ev(spark, [_r("insert", "c4", 0, "d", 2, 6, lang="en")]),
