@@ -169,11 +169,10 @@ def main(argv: list[str] | None = None) -> int:
     table = LakeTable.load(spark, args.table)
     if args.cmd == "read":
         where = _parse_where(args.where) or None
-        if where:
-            kept, pruned = table.files_for(where=where)
-            print(json.dumps({"files_scanned": len(kept), "files_pruned": pruned}),
-                  file=sys.stderr)
-        df = table.read(where=where)
+        report: dict = {}
+        df = table.read(where=where, prune_report=report)
+        if where:  # one prune pass serves both the stats line and the scan
+            print(json.dumps(report), file=sys.stderr)
         if args.limit:
             df = df.limit(args.limit)
         for row in df.toJSON().toLocalIterator():

@@ -232,6 +232,46 @@ class CommitLog:
         if commit.version % CHECKPOINT_EVERY == 0:
             self._write_checkpoint(commit.version)
 
+    def change_window_files(
+        self, fs, data_dir: str, since: int, to: int, mode: str
+    ) -> list[tuple[str, int]]:
+        """THE changelog commit classifier — the single definition of which
+        commits in ``(since, to]`` carry logical change rows, shared by
+        ``LakeTable.changes()`` (batch) and the ``lake_changes`` streaming
+        source so the two faces can never disagree. Returns ``[(rel_file,
+        commit_version)]``; skips physical-only commits (compaction /
+        vacuum / rebucket — all marked ``metrics["compaction"]``), refuses
+        COW merge commits, and probes that no contributing commit's files
+        were vacuumed (a clear error beats a mid-scan failure)."""
+        out: list[tuple[str, int]] = []
+        seen_tokens: set[str] = set()
+        for v in self.versions():
+            if not (since < v <= to):
+                continue
+            c = self.get(v)
+            if c.metrics.get("compaction") or c.metrics.get("vacuum"):
+                continue
+            if v == 1 or not c.added:
+                continue
+            if mode != "mor" and c.removed:
+                raise ValueError(
+                    "changelog read across a copy-on-write MERGE commit "
+                    f"(version {v}): COW rewrites mix changed and unchanged "
+                    "rows; use mode='mor' tables for CDC-out"
+                )
+            for f in c.added:
+                token = f.split("/", 1)[0]
+                if token not in seen_tokens:
+                    seen_tokens.add(token)
+                    if not fs.exists(join(data_dir, token)):
+                        raise FileNotFoundError(
+                            f"changelog files of version {v} were vacuumed; "
+                            "retain them with vacuum(retain_versions=...) to "
+                            "keep the changelog window readable"
+                        )
+                out.append((f, v))
+        return out
+
     def _write_checkpoint(self, version: int) -> None:
         state = self.read_state(at_version=version)
         if state is None:

@@ -48,10 +48,6 @@ def _log(path: str):
     return CommitLog(path)
 
 
-def _public_fields(schema_json: dict) -> list[dict]:
-    return [f for f in schema_json["fields"] if f["name"] not in _HIDDEN]
-
-
 def _spark_schema(path: str, with_stamps: bool):
     """Changelog schema from the table's commit log (no SparkSession)."""
     from pyspark.sql import types as T
@@ -82,41 +78,15 @@ def _spark_schema(path: str, with_stamps: bool):
 
 def _window_files(path: str, since: int, to: int) -> list[tuple[str, int]]:
     """[(rel_file, commit_version)] for the logical changes in (since, to] —
-    the same commit classification as LakeTable.changes."""
+    delegates to the ONE shared classifier (CommitLog.change_window_files),
+    so this stream and LakeTable.changes() can never disagree."""
     log = _log(path)
     st = log.read_state(at_version=to)
     if st is None:
         return []
-    fs = storage_for(path)
-    data_dir = join(path, "data")
-    out: list[tuple[str, int]] = []
-    seen_tokens: set[str] = set()
-    for v in log.versions():
-        if not (since < v <= to):
-            continue
-        c = log.get(v)
-        if c.metrics.get("compaction") or c.metrics.get("vacuum"):
-            continue
-        if v == 1 or not c.added:
-            continue
-        if st.mode != "mor" and c.removed:
-            raise ValueError(
-                "changelog stream across a copy-on-write MERGE commit "
-                f"(version {v}): COW rewrites mix changed and unchanged "
-                "rows; use mode='mor' tables for CDC-out"
-            )
-        for f in c.added:
-            token = f.split("/", 1)[0]
-            if token not in seen_tokens:
-                seen_tokens.add(token)
-                if not fs.exists(join(data_dir, token)):
-                    raise FileNotFoundError(
-                        f"changelog files of version {v} were vacuumed; "
-                        "retain them with vacuum(retain_versions=...) to "
-                        "keep the stream window readable"
-                    )
-            out.append((f, v))
-    return out
+    return log.change_window_files(
+        storage_for(path), join(path, "data"), since, to, st.mode
+    )
 
 
 def _read_partition(
@@ -220,10 +190,30 @@ def _make_datasource_classes():
             # maxFilesPerTrigger analog: cap each micro-batch at this many
             # COMMITS, so a query starting against a long backlog (or
             # resuming after downtime) drains it in bounded batches instead
-            # of one unbounded first batch. 0 = unbounded.
+            # of one unbounded first batch. 0 = unbounded. Pair the cap with
+            # a CONTINUOUS trigger (processingTime): the offset ladder below
+            # climbs once per trigger, which a one-shot availableNow run
+            # (single batch, fresh reader each run) never gets to do — for
+            # drain-once jobs use the unbounded default.
             self.max_commits = int(options.get("max_commits_per_trigger", 0))
             self.schema_bytes = _arrow_schema_bytes(schema)
-            self._progress = self.since  # highest window edge seen
+            # Offset bookkeeping for the cap across RESTARTS. The reader is
+            # re-created with no memory of the checkpoint, so a capped
+            # latestOffset could regress below the restored offset and make
+            # Spark re-plan already-delivered commits. Two monotone marks
+            # close that hole:
+            # - _high: highest offset edge seen — the base the cap advances
+            #   from (relearned from the first planned window's start, which
+            #   IS the restored offset);
+            # - _floor: highest KNOWN-COMMITTED offset (batch starts are
+            #   committed by definition; commit() confirms ends). partitions
+            #   never emits at or below it, so even if Spark plans a window
+            #   reaching back before the restore point, previously delivered
+            #   commits are not re-emitted. A genuine retry of an
+            #   UNcommitted batch re-plans fully (its start == _floor).
+            self._high = self.since
+            self._floor = self.since
+            self._offered = self.since  # cap ladder: last offset we offered
 
         def initialOffset(self) -> dict:
             return {"version": self.since}
@@ -231,19 +221,30 @@ def _make_datasource_classes():
         def latestOffset(self) -> dict:
             cur = _log(self.path).latest_version()
             if self.max_commits:
-                cur = min(cur, self._progress + self.max_commits)
-            return {"version": max(cur, self._progress)}
+                # Climb by max_commits per call from the best known position.
+                # After a restart the reader has no memory of the checkpoint,
+                # so a fixed cap could sit at or below the restored offset
+                # forever (no batch ever plans, nothing is relearned). The
+                # ladder (_offered grows every call, bounded by the real
+                # head) reaches the restored offset in O(backlog/cap) idle
+                # triggers, at which point a batch plans and _high/_floor
+                # snap to the true position; the _floor guard in partitions
+                # keeps any backward-reaching window from re-emitting.
+                base = max(self._high, self._offered)
+                offer = min(cur, base + self.max_commits)
+            else:
+                offer = cur
+            offer = max(offer, self._high)
+            self._offered = max(self._offered, offer)
+            return {"version": offer}
 
         def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
             s, e = int(start["version"]), int(end["version"])
-            # learn real progress from every planned window (incl. a replayed
-            # checkpoint batch after restart), so the cap advances from the
-            # true position; an inverted window (possible for one trigger
-            # right after restart, before progress is relearned) is empty
-            self._progress = max(self._progress, s, e)
+            self._floor = max(self._floor, s)  # batch start = committed offset
+            self._high = max(self._high, s, e)
             return [
                 _Part(_ChangeFile(self.path, f, v, self.schema_bytes))
-                for f, v in _window_files(self.path, s, e)
+                for f, v in _window_files(self.path, self._floor, e)
             ]
 
         def read(self, partition):
@@ -253,7 +254,9 @@ def _make_datasource_classes():
             )
 
         def commit(self, end: dict) -> None:
-            pass  # offsets live in the query checkpoint
+            # offsets live in the query checkpoint; locally just confirm the
+            # completed batch's end for the re-emission floor
+            self._floor = max(self._floor, int(end["version"]))
 
     class LakeChangesDataSource(DataSource):
         """``format("lake_changes")``: options ``path`` (table root),

@@ -308,12 +308,18 @@ class LakeTable:
                 out[rel] = {"n": n_bits, "b64": pack_keyset(r._bits, n_bits)}
         return out
 
-    def _keyset_bit(self, value: Any, n_bits: int) -> int:
+    def _keyset_bit(self, value: Any, n_bits: int, dtype: T.DataType) -> int:
         """Bitmap position of a lookup literal — computed BY Spark so it is
-        bit-identical to the write-side ``xxhash64`` (a 1-row driver job)."""
+        bit-identical to the write-side ``xxhash64`` (a 1-row driver job).
+        The literal is cast to the keyset COLUMN's type first: xxhash64 is
+        type-width-sensitive, so e.g. an int literal against a string/long
+        column would otherwise hash to the wrong bit and silently prune
+        files that contain the key."""
         return (
             self.spark.range(1)
-            .select(F.pmod(F.xxhash64(F.lit(value)), F.lit(n_bits)).cast("int"))
+            .select(
+                F.pmod(F.xxhash64(F.lit(value).cast(dtype)), F.lit(n_bits)).cast("int")
+            )
             .first()[0]
         )
 
@@ -339,10 +345,11 @@ class LakeTable:
         files, n = prune_files(st.live_files, st.file_stats, preds, prunable, monotone)
         if st.keyset:
             col, bits = st.keyset["col"], int(st.keyset["bits"])
+            dtype = T.StructType.fromJson(st.schema)[col].dataType
             for pcol, op, val in preds:
                 if pcol == col and op == "=" and val is not None:
                     files, n2 = prune_files_keyset(
-                        files, st.file_stats, self._keyset_bit(val, bits)
+                        files, st.file_stats, self._keyset_bit(val, bits, dtype)
                     )
                     n += n2
         return files, n
@@ -377,6 +384,7 @@ class LakeTable:
         self,
         at_version: int | None = None,
         where: list[tuple[str, str, Any]] | None = None,
+        prune_report: dict | None = None,
     ) -> DataFrame:
         """Live rows, public schema (tombstones and hidden columns stripped).
 
@@ -399,8 +407,10 @@ class LakeTable:
         cond = None
         if where:
             preds = validate_preds(where)
-            files, _ = self._pruned_files(st, preds)
+            files, pruned = self._pruned_files(st, preds)
             cond = preds_to_column(preds)
+            if prune_report is not None:  # observability without re-pruning
+                prune_report.update(files_scanned=len(files), files_pruned=pruned)
         df = self._read_files(files, schema)
         if st.mode == "mor":
             df = self._reduce_physical(df, schema)
@@ -446,27 +456,17 @@ class LakeTable:
         if since_version > to_v:
             raise ValueError(f"since_version {since_version} > version {to_v}")
         schema = T.StructType.fromJson(st.schema)
-        token_version: dict[str, int] = {}
-        files: list[str] = []
-        for v in self.log.versions():
-            if not (since_version < v <= to_v):
-                continue
-            c = self.log.get(v)
-            if c.metrics.get("compaction") or c.metrics.get("vacuum"):
-                continue
-            if v == 1 or not c.added:
-                continue
-            if st.mode != "mor" and c.removed:
-                raise ValueError(
-                    "changelog read across a copy-on-write MERGE commit "
-                    f"(version {v}): COW rewrites mix changed and unchanged "
-                    "rows; use mode='mor' tables for CDC-out"
-                )
-            files.extend(c.added)
-            for f in c.added:
-                # dir name "commit=<token>"; the materialized partition
-                # column holds the bare token
-                token_version[f.split("/", 1)[0].split("=", 1)[1]] = v
+        # ONE shared classifier decides which commits carry logical changes
+        # (also used by the lake_changes streaming source — log.py)
+        pairs = self.log.change_window_files(
+            self.fs, self.data_dir, since_version, to_v, st.mode
+        )
+        files = [f for f, _v in pairs]
+        # dir name "commit=<token>"; the materialized partition column
+        # holds the bare token
+        token_version = {
+            f.split("/", 1)[0].split("=", 1)[1]: v for f, v in pairs
+        }
 
         reader_schema = T.StructType(
             list(schema.fields)
@@ -486,15 +486,6 @@ class LakeTable:
                 F.lit(0).cast("long").alias("_commit_version"),
             ).limit(0)
 
-        # one control-plane existence probe per contributing commit: a clear
-        # error beats a mid-scan failure when the delta was already vacuumed
-        for token, v in token_version.items():
-            if not self.fs.exists(join(self.data_dir, f"{_COMMIT_COL}={token}")):
-                raise FileNotFoundError(
-                    f"changelog files of version {v} were vacuumed; retain "
-                    "them with vacuum(retain_versions=...) to keep the "
-                    "changelog window readable"
-                )
         df = (
             self.spark.read.schema(reader_schema)
             .option("basePath", self.data_dir)
@@ -569,12 +560,19 @@ class LakeTable:
         return False
 
     def _evolve_schema(
-        self, current: T.StructType, batch_cols: list[tuple[str, T.DataType]]
+        self,
+        current: T.StructType,
+        batch_cols: list[tuple[str, T.DataType]],
+        frozen_cols: frozenset[str] = frozenset(),
     ) -> T.StructType:
         """Widen the physical schema with new payload columns (additive) and
         lossless type promotions (int→long, float→double — ``_widens``).
         A batch NARROWER than the table is fine too (it casts up at write).
-        Anything else — type change across families, drops — is rejected."""
+        Anything else — type change across families, drops — is rejected.
+
+        ``frozen_cols`` may not change type at all: the keyset column's
+        bitmaps (and parquet Blooms) hash the PHYSICAL width, so widening it
+        would make every previously recorded bitmap silently wrong."""
         names = {f.name for f in current.fields}
         fields = list(current.fields)
         hidden = [f for f in fields if f.name in HIDDEN_COLS]
@@ -589,6 +587,13 @@ class LakeTable:
                 if existing == dtype or self._widens(dtype, existing):
                     continue  # identical, or narrower batch → casts up
                 if self._widens(existing, dtype):
+                    if name in frozen_cols:
+                        raise TypeError(
+                            f"column {name!r} is the keyset column — widening "
+                            f"it ({existing.simpleString()} → "
+                            f"{dtype.simpleString()}) would invalidate every "
+                            "recorded key bitmap (xxhash64 is width-sensitive)"
+                        )
                     visible = [
                         T.StructField(name, dtype, True) if f.name == name else f
                         for f in visible
@@ -781,7 +786,8 @@ class LakeTable:
             for f in resolved.schema.fields
             if f.name not in {*KEY_COLS, "op", "ts", "seq"}
         ]
-        physical = self._evolve_schema(current, payload_types)
+        frozen = frozenset({st.keyset["col"]}) if st.keyset else frozenset()
+        physical = self._evolve_schema(current, payload_types, frozen)
         payload_names = [f.name for f in physical.fields if f.name not in {*KEY_COLS, "ts", *HIDDEN_COLS}]
 
         batch = resolved.withColumn(_BUCKET_COL, _bucket_expr(st.n_buckets))
@@ -859,6 +865,10 @@ class LakeTable:
         def revalidate(new_st) -> Commit:
             if epoch_id is not None and (app_id, epoch_id) in new_st.committed_epochs:
                 raise _EpochRace
+            if new_st.n_buckets != st.n_buckets:
+                # concurrent rebucket: our files sit in old-layout bucket=
+                # dirs — recompute the whole merge under the new layout
+                raise _StaleInputs
             if st.mode != "mor":
                 # Our rewrite replaced the touched buckets' old files; if a
                 # concurrent commit changed those buckets the rewrite is stale.
@@ -872,7 +882,7 @@ class LakeTable:
             # under the pre-race column order stay valid).
             base = T.StructType.fromJson(new_st.schema)
             try:
-                widened = self._evolve_schema(base, payload_types)
+                widened = self._evolve_schema(base, payload_types, frozen)
             except TypeError:
                 self._discard_files(commit.added)
                 raise
@@ -1090,6 +1100,22 @@ class LakeTable:
         stamps default to (ts, -1), live. An optional ``(app_id, epoch_id)``
         token gives bulk-load chunks the same exactly-once retry semantics
         as MERGE epochs (a re-driven load step is a recorded no-op)."""
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            out = self._append_once(df, metrics, app_id, epoch_id)
+            if out is not None:
+                return out
+        raise CommitConflict(
+            f"append recomputed {MAX_COMMIT_ATTEMPTS} times against "
+            f"concurrent layout changes at {self.root}"
+        )
+
+    def _append_once(
+        self,
+        df: DataFrame,
+        metrics: dict[str, Any] | None,
+        app_id: str | None,
+        epoch_id: int | None,
+    ) -> dict[str, Any] | None:
         st = self._state()
         if epoch_id is not None and (app_id, epoch_id) in st.committed_epochs:
             return {"skipped": True, "reason": "epoch already committed",
@@ -1119,6 +1145,8 @@ class LakeTable:
         def revalidate(new_st) -> Commit:
             if epoch_id is not None and (app_id, epoch_id) in new_st.committed_epochs:
                 raise _EpochRace
+            if new_st.n_buckets != st.n_buckets:
+                raise _StaleInputs  # concurrent rebucket: rewrite under new layout
             return commit  # otherwise a pure append: always safe to republish
 
         try:
@@ -1128,6 +1156,9 @@ class LakeTable:
             return {"skipped": True,
                     "reason": "epoch committed by concurrent writer",
                     "version": self.version}
+        except _StaleInputs:
+            self._discard_files(commit.added)
+            return None  # append() loops and recomputes under the new layout
         return {"version": version, "files_added": len(added)}
 
     # ------------------------------------------------------------------ maintenance

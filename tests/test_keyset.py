@@ -149,6 +149,28 @@ def test_non_eq_and_other_col_predicates_ignore_keyset(spark, tmp_table_root):
     assert got == want and len(got) == 12
 
 
+def test_numeric_literal_on_string_keyset_column(spark, tmp_path):
+    """Regression: the lookup literal must be cast to the keyset COLUMN's
+    type before hashing — xxhash64 is type-width-sensitive, so an int
+    literal against this string column would otherwise compute a wrong bit
+    and silently prune the files that contain the key."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                         n_buckets=2, mode="mor", keyset_col="conv_id")
+    t.compact_threshold = 10**9
+    seq = 0
+    for e in range(3):
+        rows = []
+        for c in range(4):
+            seq += 1
+            rows.append(_r("insert", str(7000 + 10 * c + e), 0, f"t{e}.{c}", e, seq))
+        t.merge(_ev(spark, rows), app_id="x", epoch_id=e)
+    got = sorted((r.conv_id, r.text) for r in
+                 t.read(where=[("conv_id", "=", 7012)]).collect())
+    want = sorted((r.conv_id, r.text) for r in
+                  t.read().filter("conv_id = 7012").collect())
+    assert got == want and len(got) == 1  # ("7012", "t2.1") survives pruning
+
+
 def test_keyset_plus_stamp_predicate_compose(spark, tmp_table_root):
     t = _table(spark, tmp_table_root)
     cutoff = T0 + pd.Timedelta(hours=3)

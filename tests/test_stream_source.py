@@ -121,6 +121,47 @@ def test_max_commits_per_trigger_drains_backlog_in_bounded_batches(spark, tmp_pa
     assert sorted(v for b in batches for v in b) == [2, 3, 4]
 
 
+def test_max_commits_cap_no_reemission_after_restart(spark, tmp_path):
+    """Restart regression: a fresh reader has no memory of the checkpoint,
+    so a capped latestOffset starts below the restored offset — the floor
+    guard must keep the catch-up window from re-emitting already-delivered
+    commits, and the offset ladder must climb past the restore point
+    instead of stalling."""
+    import time
+
+    t = _mor(spark, str(tmp_path / "t"))
+    stream_source.register(spark)
+    seen: list[tuple] = []
+
+    def run_until(n_rows):
+        q = (spark.readStream.format("lake_changes")
+             .option("path", str(tmp_path / "t"))
+             .option("max_commits_per_trigger", "1").load()
+             .writeStream.foreachBatch(
+                 lambda df, eid: seen.extend(
+                     (r.conv_id, r._commit_version) for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(processingTime="300 milliseconds").start())
+        try:
+            deadline = time.time() + 120
+            while len(seen) < n_rows:
+                assert time.time() < deadline, f"stalled at {seen}"
+                assert q.isActive, f"query died: {q.exception()}"
+                time.sleep(0.2)
+        finally:
+            q.stop()
+
+    run_until(4)  # the 4 change rows of the 2 data commits
+    assert len(seen) == 4
+
+    # new commit while the query is DOWN, then restart with the same ckpt
+    t.merge(_ev(spark, [_r("insert", "c9", 0, "post", 3, 9)]),
+            app_id="x", epoch_id=2)
+    run_until(5)
+    assert len(seen) == 5  # exactly ONE new row — nothing re-emitted
+    assert seen[-1] == ("c9", 4)
+
+
 def test_schema_evolution_null_fills_older_files(spark, tmp_table_root):
     t = _mor(spark, tmp_table_root)
     t.merge(_ev(spark, [_r("insert", "c4", 0, "d", 2, 6, lang="en")]),
