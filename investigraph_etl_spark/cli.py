@@ -85,7 +85,10 @@ def main(argv: list[str] | None = None) -> int:
         if name == "vacuum":
             sp.add_argument("--retain-versions", type=int, default=0)
             sp.add_argument("--retain-s", type=float, default=0.0)
-            sp.add_argument("--orphan-grace-s", type=float, default=0.0)
+            sp.add_argument("--orphan-grace-s", type=float, default=None,
+                            help="seconds an unreferenced file must age before"
+                            " reclamation (default: library DEFAULT_ORPHAN_"
+                            "GRACE_S; pass 0 for single-writer maintenance)")
 
     sp = sub.add_parser("delete-where")
     sp.add_argument("--table", required=True)
@@ -190,9 +193,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         print(json.dumps(table.compact()))
     elif args.cmd == "vacuum":
+        kw = {} if args.orphan_grace_s is None else {
+            "orphan_grace_s": args.orphan_grace_s}
         print(json.dumps({"files_removed": table.vacuum(
             retain_versions=args.retain_versions, retain_s=args.retain_s,
-            orphan_grace_s=args.orphan_grace_s)}))
+            **kw)}))
     elif args.cmd == "metadata":
         print(json.dumps(table.export_metadata()))
     else:

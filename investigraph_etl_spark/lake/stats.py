@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import base64
 import datetime as _dt
+import decimal as _decimal
 from typing import Any, Iterable, Mapping
 
 from investigraph_etl_spark.storage import Storage, join
@@ -66,6 +67,12 @@ def _canon(v: Any) -> Any:
         return v.toordinal() - _dt.date(1970, 1, 1).toordinal()
     if isinstance(v, bytes):
         return None  # binary bounds are not tracked
+    if isinstance(v, _decimal.Decimal):
+        # pyarrow emits Decimal bounds for DECIMAL columns; json.dumps would
+        # raise TypeError AFTER the data files landed, aborting the commit and
+        # orphaning them. Skip (column unprunable) rather than store a float
+        # bound that rounding could make non-conservative.
+        return None
     return v
 
 
@@ -100,18 +107,26 @@ def collect_file_stats(
             nulls = 0
             ok = True
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None:
-                    ok = False
-                    break
-                nulls += st.null_count or 0
-                if not st.has_min_max:
-                    # a row group with values but no bounds → unprunable
-                    if st.num_values:
+                try:
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None:
                         ok = False
                         break
-                    continue
-                mn, mx = _canon(st.min), _canon(st.max)
+                    nulls += st.null_count or 0
+                    if not st.has_min_max:
+                        # a row group with values but no bounds → unprunable
+                        if st.num_values:
+                            ok = False
+                            break
+                        continue
+                    mn, mx = _canon(st.min), _canon(st.max)
+                except Exception:
+                    # pyarrow raises ArrowNotImplementedError reading bounds
+                    # of some physical types (DECIMAL in this build) — a
+                    # post-write abort would orphan the landed data files,
+                    # so the column just stays unprunable.
+                    ok = False
+                    break
                 if mn is None or mx is None:
                     ok = False
                     break

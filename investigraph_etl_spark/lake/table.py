@@ -97,6 +97,13 @@ class EpochAlreadyApplied(Exception):
 #: contention — dozens of writers racing on one table).
 MAX_COMMIT_ATTEMPTS = 12
 
+#: Default ``vacuum`` grace for unreferenced files (Delta-style retention):
+#: the OCC protocol makes "files landed at final paths, commit not yet
+#: published" a normal long-lived state (up to MAX_COMMIT_ATTEMPTS control-
+#: plane retries), so reclaiming young orphans by default would race writers.
+#: Pass ``orphan_grace_s=0.0`` explicitly for known single-writer maintenance.
+DEFAULT_ORPHAN_GRACE_S = 300.0
+
 
 class CommitConflict(RuntimeError):
     """A commit lost the optimistic-concurrency race ``MAX_COMMIT_ATTEMPTS``
@@ -759,6 +766,11 @@ class LakeTable:
             if status == "done":
                 return payload
             extra = payload  # callable already evaluated by the aborted attempt
+            # Caller-supplied bucket ids are stale after a raced rebucket (the
+            # retry recomputes ids under the NEW layout, but would still read
+            # existing rows / compute `removed` from the old ids, leaving two
+            # live rows per key on a COW table). Recompute from fresh state.
+            touched = None
         raise CommitConflict(
             f"merge recomputed {MAX_COMMIT_ATTEMPTS} times against concurrent "
             f"rewrites of the same buckets at {self.root}"
@@ -1023,8 +1035,9 @@ class LakeTable:
         replicate downstream with exact stamps, late stale updates cannot
         resurrect the turns (tombstone wins LWW), and an ``(app_id,
         epoch_id)`` token makes the call exactly-once under retry. Physical
-        erasure of the old bytes is ``compact()`` + ``vacuum()`` — the
-        documented two-step purge.
+        erasure of the old bytes is ``compact()`` + ``vacuum()`` (with
+        ``orphan_grace_s=0.0`` when no concurrent writers, else after the
+        grace has elapsed) — the documented two-step purge.
         """
         keys = self.read().filter(cond).select(*KEY_COLS)
         events = keys.select(
@@ -1167,7 +1180,7 @@ class LakeTable:
         retain_versions: int = 0,
         retain_s: float = 0.0,
         now: float | None = None,
-        orphan_grace_s: float = 0.0,
+        orphan_grace_s: float = DEFAULT_ORPHAN_GRACE_S,
     ) -> int:
         """Delete data files referenced by no retained version. Returns count.
 
@@ -1188,8 +1201,10 @@ class LakeTable:
         writer commit references to deleted files. ``orphan_grace_s`` guards
         this: unreferenced files younger than the grace (storage mtime) are
         left alone, so any vacuum racing a write that takes less than the
-        grace is safe. The 0.0 default reclaims everything unreferenced —
-        correct only with no in-flight writes.
+        grace is safe. The default (:data:`DEFAULT_ORPHAN_GRACE_S`) is
+        conservative, Delta-style; pass ``orphan_grace_s=0.0`` explicitly to
+        reclaim everything unreferenced — correct only with no in-flight
+        writes (single-writer maintenance).
         """
         st = self._state()
         now_s = time.time() if now is None else now

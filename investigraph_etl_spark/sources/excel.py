@@ -137,10 +137,11 @@ def _date_styles(z: zipfile.ZipFile) -> list[bool]:
 def _serial_to_datetime(serial: float, date1904: bool) -> datetime:
     epoch = datetime(1904, 1, 1) if date1904 else datetime(1899, 12, 30)
     dt = epoch + timedelta(days=serial)
-    # serials are binary floats; round sub-ms jitter away (openpyxl does too)
-    return dt if dt.microsecond == 0 else (
-        dt + timedelta(microseconds=500)
-    ).replace(microsecond=((dt.microsecond + 500) // 1000) * 1000)
+    # Serials are binary floats; round sub-ms jitter away (openpyxl does too).
+    # Round via a timedelta so carry past a second boundary propagates —
+    # .replace() raised ValueError for microseconds in [999500, 999999].
+    us = dt.microsecond
+    return dt + timedelta(microseconds=((us + 500) // 1000) * 1000 - us)
 
 
 def _typed_number(raw: str) -> int | float:

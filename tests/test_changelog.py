@@ -93,7 +93,7 @@ def test_changes_skips_compaction_and_reemitted_epochs(spark, tmp_table_root):
 def test_changes_after_vacuum_raises(spark, tmp_table_root):
     t, _ = _mor(spark, tmp_table_root)
     t.compact()
-    t.vacuum()  # reclaims the pre-compaction generations
+    t.vacuum(orphan_grace_s=0.0)  # reclaims the pre-compaction generations
     with pytest.raises(FileNotFoundError, match="vacuum"):
         t.changes(0).count()
 

@@ -134,7 +134,7 @@ def test_cli_history_and_vacuum(spark, tmp_path, capsys):
     assert cli_main(["history", "--table", root]) == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) >= 3  # create + merge + compaction
-    assert cli_main(["vacuum", "--table", root]) == 0
+    assert cli_main(["vacuum", "--table", root, "--orphan-grace-s", "0"]) == 0
     assert json.loads(capsys.readouterr().out)["files_removed"] > 0
 
 

@@ -115,7 +115,7 @@ def test_membership_beats_zone_maps_on_hashlike_ids(spark, tmp_path):
 def test_keyset_follows_compaction_and_vacuum(spark, tmp_table_root):
     t = _table(spark, tmp_table_root)
     t.compact()
-    t.vacuum()
+    t.vacuum(orphan_grace_s=0.0)
     # compacted files carry fresh keysets; lookups still prune and match
     kept, pruned = t.files_for(where=[("conv_id", "=", "c1-3")])
     assert len(kept) >= 1

@@ -150,7 +150,7 @@ def test_time_travel_and_vacuum(spark, tmp_table_root):
     t.merge(_resolved(spark, more), app_id="t", epoch_id=1)
 
     assert t.read(at_version=v2).count() == n_v2  # snapshot isolation
-    removed = t.vacuum()
+    removed = t.vacuum(orphan_grace_s=0.0)
     assert removed > 0  # old versions' files reclaimed
     assert t.read().count() > 0  # current version intact
 
@@ -169,7 +169,7 @@ def test_vacuum_retention_window(spark, tmp_table_root):
     mid_before = t.read(at_version=v_mid).orderBy("conv_id", "turn_idx").collect()
 
     # retain 1 version of history: v_mid still travels, v_old's files go
-    removed = t.vacuum(retain_versions=1)
+    removed = t.vacuum(retain_versions=1, orphan_grace_s=0.0)
     assert removed > 0
     assert (
         t.read(at_version=v_mid).orderBy("conv_id", "turn_idx").collect()
@@ -186,7 +186,7 @@ def test_vacuum_retention_window(spark, tmp_table_root):
     mid_only = set(t.log.read_state(at_version=v_mid).live_files) - set(
         t.log.read_state(at_version=v_cur).live_files
     )
-    assert t.vacuum() > 0
+    assert t.vacuum(orphan_grace_s=0.0) > 0
     assert not (mid_only & set(t.fs.list_files(t.data_dir)))
 
 
@@ -215,3 +215,49 @@ def test_history_lineage(spark, tmp_table_root):
     h = t.history()
     assert h[-1]["app_id"] == "pipeline-x"
     assert h[-1]["metrics"]["events_applied"] == len(ev)
+
+
+def test_decimal_stats_col_commits_and_skips_bounds(spark, tmp_table_root):
+    """ADVICE r3: pyarrow emits decimal.Decimal min/max for DECIMAL stats
+    columns; json.dumps raised TypeError AFTER the data files landed, aborting
+    the commit and orphaning them. The column's bounds are skipped instead."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields) + [T.StructField("amount", T.DecimalType(9, 2), True)]
+    )
+    t = LakeTable.create(spark, tmp_table_root, schema, n_buckets=2,
+                         stats_cols=("conv_id", "amount"))
+    t0 = pd.Timestamp("2025-01-01")
+    ev = resolve_lww(
+        spark.createDataFrame(pd.DataFrame([
+            {"op": "insert", "conv_id": f"c{i}", "turn_idx": 0, "role": "user",
+             "text": f"t{i}", "tool": None, "ts": t0, "seq": i, "amount": 1.25 * i}
+            for i in range(4)
+        ])).withColumn("amount", F.col("amount").cast("decimal(9,2)"))
+    )
+    res = t.merge(ev, app_id="d", epoch_id=0)  # must not abort
+    assert not res["skipped"] and t.version == 2
+    assert t.read().count() == 4
+    st = t._state()
+    assert st.file_stats  # conv_id bounds recorded...
+    for bounds in st.file_stats.values():
+        assert "conv_id" in bounds
+        assert "amount" not in bounds  # ...decimal bounds skipped, unprunable
+    kept, pruned = t.files_for(where=[("conv_id", "=", "c1")])
+    assert kept  # pruning on the non-decimal stats col still works
+
+
+def test_vacuum_default_grace_spares_young_orphans(spark, tmp_table_root):
+    """ADVICE r3: under the OCC protocol 'files landed, commit not yet
+    published' is a normal state, so the DEFAULT vacuum must leave young
+    unreferenced files alone; reclaim-now is an explicit opt-in."""
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=2)
+    ev = generate_events(GeneratorConfig(n_events=200, seed=77))
+    t.merge(_resolved(spark, ev), app_id="t", epoch_id=0)
+    more = generate_events(GeneratorConfig(n_events=200, seed=78))
+    more["seq"] += 100_000
+    t.merge(_resolved(spark, more), app_id="t", epoch_id=1)  # supersedes files
+    assert t.vacuum() == 0                    # default: young files survive
+    assert t.vacuum(orphan_grace_s=0.0) > 0   # explicit opt-in reclaims
+    assert t.read().count() > 0

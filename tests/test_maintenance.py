@@ -63,7 +63,7 @@ def test_delete_where_physical_purge_via_compact_vacuum(spark, tmp_path):
     t = _mor(spark, str(tmp_path / "t"))
     t.delete_where("conv_id = 'c1'", app_id="gdpr", epoch_id=0)
     t.compact()
-    t.vacuum()
+    t.vacuum(orphan_grace_s=0.0)
     # the purged text is gone from every live byte on disk
     import glob
 

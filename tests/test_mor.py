@@ -77,7 +77,7 @@ def test_mor_compaction_preserves_state_and_prunes_files(spark, tail, tmp_path):
     # compacted layout: at most one file per bucket
     assert max(table._files_per_bucket(table._state().live_files).values()) == 1
     # vacuum reclaims superseded generations
-    assert table.vacuum() > 0
+    assert table.vacuum(orphan_grace_s=0.0) > 0
     pd.testing.assert_frame_equal(_final(table), before, check_dtype=False)
 
 

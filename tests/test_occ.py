@@ -115,7 +115,7 @@ def test_cow_same_bucket_race_recomputes(spark, tmp_path):
     # COW invariant restored: the touched bucket holds ONE generation again
     st = a._state()
     assert len(st.live_files) == 1
-    a.vacuum()
+    a.vacuum(orphan_grace_s=0.0)
     assert _on_disk(a) == set(st.live_files)
 
 
@@ -143,7 +143,7 @@ def test_concurrent_compactions_one_wins_one_aborts(spark, tmp_path):
     assert b_res["files_removed"] > 0                       # B won
     assert res["compacted_buckets"] == 0 and "aborted" in res  # A backed off
     assert _state(a) == {("c1", 0): "t0", ("c1", 1): "t1", ("c1", 2): "t2"}
-    a.vacuum()
+    a.vacuum(orphan_grace_s=0.0)
     assert _on_disk(a) == set(a._state().live_files)
 
 
@@ -209,3 +209,24 @@ def test_append_epoch_token_exactly_once(spark, tmp_path):
     r3 = a.append(spark.createDataFrame(pdf2), app_id="load", epoch_id=4)
     assert r3["skipped"] and "concurrent" in r3["reason"]
     assert _on_disk(a) == set(a._state().live_files)  # loser's files discarded
+
+
+def test_cow_merge_raced_by_rebucket_recomputes_touched(spark, tmp_path):
+    """ADVICE r3: a COW merge retried after a concurrent REBUCKET must not
+    reuse the caller-supplied `touched` list — those bucket ids belong to the
+    old layout, so the retry would neither re-reduce nor remove the keys'
+    existing rows, leaving two live rows per key (and COW read() does no LWW
+    reduction)."""
+    a, b = _two_handles(spark, str(tmp_path / "t"), "cow", n_buckets=2)
+    # pick a conv whose bucket id CHANGES between the 2- and 7-bucket layouts
+    conv = next(c for c in (f"c{i}" for i in range(50))
+                if _bucket(spark, c, 2) != _bucket(spark, c, 7))
+    a.merge(_ev(spark, [_r("insert", conv, 0, "old", 0, 1)]),
+            app_id="a", epoch_id=0)
+    touched = [_bucket(spark, conv, 2)]  # computed under the CURRENT layout
+    _inject_before_publish(a, lambda: b.rebucket(7))
+    res = a.merge(_ev(spark, [_r("update", conv, 0, "new", 1, 2)]),
+                  app_id="a", epoch_id=1, touched=touched)
+    assert not res["skipped"]
+    assert a.read().count() == 1           # exactly ONE live row for the key
+    assert _state(a) == {(conv, 0): "new"}

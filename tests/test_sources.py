@@ -433,3 +433,22 @@ def test_deep_merge_reference_semantics():
     assert out["flag"] is False
     assert out["keep"] == "x"
     assert out["n"] == 0 and out["s"] == ""
+
+
+def test_serial_to_datetime_second_boundary_carry():
+    """ADVICE r3: a serial whose float expansion lands within 500us below a
+    second boundary must round UP with carry into the seconds field —
+    .replace(microsecond=1000000) raised ValueError and aborted the whole
+    typed read_excel_df job."""
+    from datetime import datetime
+
+    from investigraph_etl_spark.sources.excel import _serial_to_datetime
+
+    # 45000 + 3/86400 days binary-rounds to ...02.999999
+    dt = _serial_to_datetime(45000.000034722216, False)
+    assert dt == datetime(2023, 3, 15, 0, 0, 3)
+    # plain cases still round to the nearest millisecond, HALF_UP
+    assert _serial_to_datetime(45000.0, False) == datetime(2023, 3, 15)
+    assert _serial_to_datetime(45000.5, False) == datetime(2023, 3, 15, 12)
+    mid = _serial_to_datetime(45000.25, False)
+    assert mid == datetime(2023, 3, 15, 6) and mid.microsecond % 1000 == 0

@@ -135,7 +135,7 @@ def test_table_maintenance_on_fake_remote(mem):
     table.data_dir = join(root, "data")
     table.log = log
 
-    assert table.vacuum() == 1  # the orphan commit dir's parquet, not .tmp
+    assert table.vacuum(orphan_grace_s=0.0) == 1  # the orphan commit dir's parquet, not .tmp
     assert mem.list_files(f"{root}/data") == [live.replace("commit=", "commit=", 1)]
 
     meta = table.export_metadata()
