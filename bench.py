@@ -174,29 +174,61 @@ def _count_events(landing: str) -> int:
     )
 
 
-def run_queries(spark) -> dict[str, float]:
+def _host_calibration_s() -> float:
+    """Fixed single-thread CPU probe (~0.1 s nominal): recorded once per
+    pass so the artifact shows the host window each pass ran in."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((400, 400))
+    t0 = time.time()
+    for _ in range(8):
+        a = a @ a
+        a /= np.abs(a).max()
+    return round(time.time() - t0, 3)
+
+
+def run_queries(spark, passes: int = 3) -> tuple[dict[str, float], dict]:
     """Per-query wall times. Dedup/fingerprint entries are timed with the
     PRODUCTION xxhash64 kernel (plans.queries.PROD_QUERIES) — the md5 faces
     exist only so DuckDB can replay the driver's correctness gate; a 100 TB
     deployment would never run md5 in the hot path (JCA lock anti-scaling,
-    measured in BENCH.md)."""
+    measured in BENCH.md).
+
+    Drift discipline (round-3 verdict: back-to-back best-of-2 recorded a
+    depressed-host 10.3 s for a steady-state 1.15 s query): run ``passes``
+    FULL interleaved passes over the registry — minutes apart per query, so
+    one bad host window cannot depress both timings of any query — and take
+    the per-query min. Any query whose max/min spread still exceeds 2x gets
+    one extra timing at the end. Returns (best_times, diagnostics) where
+    diagnostics carries per-pass host calibration and per-query spreads.
+    """
     from investigraph_etl_spark.plans.queries import PROD_QUERIES, QUERIES
 
     registry = {**QUERIES, **PROD_QUERIES}
     names = QUERY_NAMES or list(QUERIES)
-    out = {}
-    for name in names:
-        # best of 2: run 1 pays codegen + whatever CPU window the host is in
-        # (±30% drift, see BENCH.md); run 2 is the steady-state figure a
-        # resident deployment sees. Same best-of discipline as the headline.
-        best = None
-        for _ in range(2):
+    times: dict[str, list[float]] = {n: [] for n in names}
+    cal = []
+    for _ in range(passes):
+        cal.append(_host_calibration_s())
+        for name in names:
             t0 = time.time()
             registry[name](spark, SF_DIR).collect()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-    return out
+            times[name].append(time.time() - t0)
+    for name in names:  # outlier backstop: spread still >2x → one re-run
+        ts = times[name]
+        if max(ts) / max(min(ts), 1e-9) > 2.0:
+            t0 = time.time()
+            registry[name](spark, SF_DIR).collect()
+            ts.append(time.time() - t0)
+    best = {n: round(min(ts), 3) for n, ts in times.items()}
+    diag = {
+        "passes": passes,
+        "host_calibration_s": cal,
+        "spread_maxmin": {
+            n: round(max(ts) / max(min(ts), 1e-9), 2) for n, ts in times.items()
+        },
+    }
+    return best, diag
 
 
 def main() -> dict:
@@ -209,7 +241,7 @@ def main() -> dict:
     second = run_ingest(spark, _n_events())
     if second["events_per_sec"] > ingest["events_per_sec"]:
         ingest = second
-    queries = run_queries(spark)
+    queries, qdiag = run_queries(spark)
     spark.stop()
     return {
         "metric": (
@@ -226,6 +258,7 @@ def main() -> dict:
         "sf": _sf(),
         "ingest": ingest,
         "cpus": CPUS,
+        "timing": qdiag,
     }
 
 
