@@ -159,3 +159,33 @@ def test_merge_without_epoch_token_skips_guard():
     spark = _SparkStub()
     _adapter(spark).merge(_BatchStub())
     assert len(spark.stmts) == 1 and spark.stmts[0].startswith("MERGE INTO")
+
+
+def test_generated_sql_parses_with_sparks_real_parser(spark):
+    """Round-3 verdict #4: the adapter's SQL had only ever been string-pinned
+    — a syntax error would pass every stub test. Run every statement the
+    adapter can generate through Spark's OWN parser (the same grammar an
+    Iceberg deployment's spark.sql hits first); ParseException fails the test.
+    """
+    parser = spark._jsparkSession.sessionState().sqlParser()
+
+    # prove the oracle bites: garbage must raise
+    with pytest.raises(Exception, match="(?i)parse"):
+        parser.parsePlan("MERGE INTO WHEN GARBAGE !!")
+
+    evolved = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [T.StructField("tool_meta", T.StringType(), True),
+           T.StructField("score", T.DoubleType(), True)]
+    )
+    for schema in (TRANSCRIPT_SCHEMA, evolved):
+        for ident in ("cat.db.transcripts", "transcripts"):
+            a = IcebergMergeAdapter(None, ident, schema, n_buckets=32)
+            for stmt in (
+                a.create_table_sql(),
+                a.live_view_sql(),
+                a.epoch_guard_sql("app-1", 7),
+                a.merge_sql(),
+                a.merge_sql(source_view="other_batch"),
+            ):
+                parser.parsePlan(stmt)  # raises ParseException on bad syntax
