@@ -55,12 +55,22 @@ _QUARANTINE_DIR = "_quarantine"
 OBS_LINEAGE_MAX_BUCKETS = 64
 
 
+#: Fused one-exchange epochs pay the LWW reduce AFTER the shuffle, losing
+#: map-side combine. Measured crossover on the bench tail: at duplication
+#: ~12× (events per key) the combine-first two-exchange shape wins 1.2-1.4×
+#: at every parallelism level; at ~1× fused wins (half the shuffled bytes).
+#: The pipeline feeds back each epoch's measured duplication (it is in the
+#: lineage for free); below this threshold the next epoch runs fused.
+FUSE_DUP_MAX = 2.0
+
+
 def apply_events_batch(
     table: LakeTable,
     raw_events: DataFrame,
     app_id: str,
     epoch_id: int,
     n_salts: int | None = None,
+    dup_hint: float | None = None,
 ) -> dict[str, Any]:
     """Apply one raw event micro-batch to the table, exactly once.
 
@@ -80,11 +90,56 @@ def apply_events_batch(
         obs, F.sum(F.when(F.col("_valid"), 0).otherwise(1)).alias("n_quar")
     )
     valid = canon.filter(F.col("_valid")).drop("_valid")
-    resolved = resolve_lww(valid, n_salts=n_salts, with_count=True)
 
-    if st.mode == "mor" and st.n_buckets <= OBS_LINEAGE_MAX_BUCKETS:
-        return _apply_mor_one_action(table, st, resolved, canon, obs, app_id, epoch_id)
+    mor_fast = st.mode == "mor" and st.n_buckets <= OBS_LINEAGE_MAX_BUCKETS
+    # Fused one-exchange epoch (MOR, unsalted, low-duplication): pre-partition
+    # the reduce by conv_id into a width dividing n_buckets, so the SAME
+    # exchange serves the LWW aggregation AND routes every bucket wholly into
+    # one write task (murmur3 identity, lake/table.py _bucket_expr) — removes
+    # the second full-payload shuffle. The trade: the reduce happens after
+    # the exchange, so map-side combine is lost; on high-duplication tails
+    # the default combine-first shape shuffles ~dup× fewer rows and wins
+    # (see FUSE_DUP_MAX). Unknown duplication → combine-first.
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH")  # ops/tuning knob
+    fuse = mor_fast and not n_salts and (
+        bool(int(override)) if override
+        else (dup_hint is not None and dup_hint < FUSE_DUP_MAX)
+    )
+    pre_parts = _fused_width(table.spark, st.n_buckets) if fuse else None
+    resolved = resolve_lww(
+        valid, n_salts=n_salts, with_count=True, pre_partition=pre_parts
+    )
+
+    if mor_fast:
+        return _apply_mor_one_action(
+            table, st, resolved, canon, obs, app_id, epoch_id,
+            aligned_parts=pre_parts,
+        )
     return _apply_two_action(table, st, resolved, canon, obs, app_id, epoch_id)
+
+
+def _fused_width(spark, n_buckets: int) -> int | None:
+    """Reduce/write width for the fused epoch: the largest divisor of
+    ``n_buckets`` within 2× the cluster's cores — a write task carries
+    ~35-40 ms of fixed overhead (measured, scripts/analyze_stages.py), so a
+    small deployment must not pay n_buckets tasks per micro-batch, while on
+    a real cluster (cores >> n_buckets) this returns n_buckets unchanged =
+    full per-bucket parallelism. None (fall back to the two-exchange shape)
+    when bucket count and core count are mutually prime enough that the
+    divisor would under-use the machine."""
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH")
+    if override is not None:  # ops/tuning knob: 0 disables the fused path
+        return int(override) or None
+    cores = spark.sparkContext.defaultParallelism
+    bound = max(1, 2 * cores)
+    if n_buckets <= bound:
+        return n_buckets
+    best = max((d for d in range(1, bound + 1) if n_buckets % d == 0), default=1)
+    return best if best >= min(cores, n_buckets) else None
 
 
 def _lineage_agg(n_buckets: int):
@@ -102,7 +157,7 @@ def _lineage_agg(n_buckets: int):
 
 
 def _apply_mor_one_action(
-    table, st, resolved, canon, obs, app_id, epoch_id
+    table, st, resolved, canon, obs, app_id, epoch_id, aligned_parts=None
 ) -> dict[str, Any]:
     """MOR epoch in ONE Spark action (see module docstring): both
     Observations complete with the write; touched buckets come from the
@@ -142,6 +197,7 @@ def _apply_mor_one_action(
         app_id=app_id,
         epoch_id=epoch_id,
         extra_metrics=pre_commit,
+        aligned_parts=aligned_parts,
     )
     if not result.get("skipped"):
         result.update(side)

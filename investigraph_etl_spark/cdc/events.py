@@ -55,15 +55,6 @@ CHANGE_EVENT_SCHEMA = T.StructType(
 _REQUIRED = ("op", "conv_id", "turn_idx", "ts", "seq")
 
 
-def _valid_predicate():
-    cond = F.col("op").isin(*OPS)
-    for c in _REQUIRED:
-        cond = cond & F.col(c).isNotNull()
-    # Null-safe: a null op makes isin() null, which filter() would silently
-    # drop from BOTH branches — coalesce pins it to False (→ quarantine).
-    return F.coalesce(cond, F.lit(False))
-
-
 def canonicalize_events(events: DataFrame) -> DataFrame:
     """Canonicalize an event batch and tag each row with ``_valid``.
 
@@ -78,19 +69,34 @@ def canonicalize_events(events: DataFrame) -> DataFrame:
     # dir as-is, and without the cast two epochs with differently-inferred
     # input types would write conflicting parquet schemas there. Evolved
     # (unknown) columns pass through untouched.
+    #
+    # Built as ONE selectExpr: this runs once per micro-batch on the driver,
+    # and Column-by-Column construction was ~0.2 s of py4j round-trips per
+    # epoch — a pure serial term the scaling criterion punishes (same
+    # rationale as apply._lineage_agg).
     known = {f.name: f.dataType for f in CHANGE_EVENT_SCHEMA.fields}
-
-    def _payload(c: str):
-        return F.col(c).cast(known[c]).alias(c) if c in known else F.col(c)
-
-    return events.select(
-        F.lower(F.col("op")).cast("string").alias("op"),
-        F.col("conv_id").cast("string").alias("conv_id"),
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.col("seq").cast("long").alias("seq"),
-        *[_payload(c) for c in payload],
-    ).withColumn("_valid", _valid_predicate())
+    casts = {
+        "op": "cast(lower(op) as string)",
+        "conv_id": "cast(conv_id as string)",
+        "turn_idx": "cast(turn_idx as int)",
+        "ts": "cast(ts as timestamp)",
+        "seq": "cast(seq as long)",
+    }
+    ops = ", ".join(f"'{o}'" for o in OPS)
+    # Null-safe validity ON THE CANONICAL values (a failed cast → null →
+    # quarantine): a null op makes IN return null, which filter() would
+    # silently drop from BOTH branches — coalesce pins it to False.
+    required = " and ".join(f"{casts[c]} is not null" for c in _REQUIRED)
+    valid = f"coalesce({casts['op']} in ({ops}) and {required}, false) as _valid"
+    return events.selectExpr(
+        *[f"{e} as {c}" for c, e in casts.items()],
+        *[
+            f"cast(`{c}` as {known[c].simpleString()}) as `{c}`"
+            if c in known else f"`{c}`"
+            for c in payload
+        ],
+        valid,
+    )
 
 
 def normalize_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:

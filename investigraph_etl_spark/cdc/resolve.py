@@ -45,6 +45,7 @@ def resolve_lww(
     strategy: str = "max_by",
     key_cols: tuple[str, ...] = KEY_COLS,
     with_count: bool = False,
+    pre_partition: int | None = None,
 ) -> DataFrame:
     """Reduce an event batch to one winning event per ``(conv_id, turn_idx)``.
 
@@ -70,7 +71,18 @@ def resolve_lww(
       (primitive buffer → whole-stage-codegen HashAggregate, no sort anywhere),
       then unpacked with ``from_json``. Trades sort for JSON encode/decode, all
       JVM-side.
+
+    ``pre_partition``: hash-partition the events by ``key_cols[0]`` into this
+    many partitions BEFORE the reduce. HashPartitioning([conv_id]) satisfies
+    the groupBy's ClusteredDistribution([conv_id, turn_idx]) (subset rule),
+    so the aggregation runs on that single exchange — and because the lake's
+    bucket function is the same murmur3 hash, a width dividing n_buckets
+    leaves the output writable with NO second exchange (the fused ingest
+    path, see lake/table.py ``_bucket_expr``). The whole epoch becomes
+    scan → one exchange → [reduce + write].
     """
+    if pre_partition and not (n_salts and n_salts > 1):
+        events = events.repartition(pre_partition, F.col(key_cols[0]))
     if strategy == "packed":
         if with_count:
             raise ValueError("with_count is not supported by the packed strategy")
@@ -78,31 +90,33 @@ def resolve_lww(
     payload = event_payload_cols(events, key_cols)
     # The candidate row travels inside the aggregate as one struct; max_by keeps
     # whole-stage codegen and partial aggregation (no window, no sort).
-    candidate = F.struct(F.col("op"), *[F.col(c) for c in payload], F.col("ts"), F.col("seq"))
-    stamp = F.struct(F.col("ts"), F.col("seq"))
-    win = F.max_by(candidate, stamp).alias("w")
-    cnt = F.count(F.lit(1)).alias("_cnt")
+    # Expressions are built as SQL strings (one parse each, ~3 py4j calls
+    # total) — this runs once per micro-batch and Column-op construction was
+    # a measurable slice of the per-epoch serial driver floor.
+    cols = ", ".join(["op", *[f"`{c}`" for c in payload], "ts", "seq"])
+    win = F.expr(f"max_by(struct({cols}), struct(ts, seq))").alias("w")
+    cnt = F.expr("count(1)").alias("_cnt")
 
     if n_salts and n_salts > 1:
-        salt = F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts)).alias("_salt")
+        salt = F.expr(f"pmod(xxhash64(seq), {int(n_salts)})").alias("_salt")
         local = events.groupBy(*key_cols, salt).agg(win, cnt)
         # Phase 2: re-aggregate the per-salt winners; stamp lives inside w.
-        stamp2 = F.struct(F.col("w.ts"), F.col("w.seq"))
         resolved = local.groupBy(*key_cols).agg(
-            F.max_by(F.col("w"), stamp2).alias("w"), F.sum("_cnt").alias("_cnt")
+            F.expr("max_by(w, struct(w.ts, w.seq))").alias("w"),
+            F.expr("sum(_cnt)").alias("_cnt"),
         )
     else:
         resolved = events.groupBy(*key_cols).agg(win, cnt)
 
-    return resolved.select(
+    return resolved.selectExpr(
         *key_cols,
-        F.col("w.op").alias("op"),
-        *[F.col(f"w.{c}").alias(c) for c in payload],
-        F.col("w.ts").alias("ts"),
-        F.col("w.seq").alias("seq"),
+        "w.op as op",
+        *[f"w.`{c}` as `{c}`" for c in payload],
+        "w.ts as ts",
+        "w.seq as seq",
         # events folded into this winner — per-bucket lineage derives from it
         # for free instead of a second full-batch aggregation.
-        *([F.col("_cnt")] if with_count else []),
+        *(["_cnt"] if with_count else []),
     )
 
 

@@ -7,7 +7,8 @@ Physical layout::
 
 Key design decisions, each driven by 100 TB scale:
 
-- **Hash-bucketed by conv_id** (``pmod(xxhash64(conv_id), n_buckets)``): a
+- **Hash-bucketed by conv_id** (``pmod(murmur3(conv_id), n_buckets)`` —
+  Spark's shuffle hash, see ``_bucket_expr`` for why): a
   MERGE reads and rewrites ONLY the buckets its batch touches — file-level
   partition pruning without a metastore. A micro-batch touching 1% of
   conversations rewrites ~1% of the table, not all of it. turn_idx stays
@@ -69,6 +70,7 @@ from investigraph_etl_spark.lake.stats import (
     prune_files_keyset,
     validate_preds,
 )
+from investigraph_etl_spark.profiling import phase
 from investigraph_etl_spark.storage import join, storage_for
 
 HIDDEN_COLS = ("_ts", "_seq", "_deleted")
@@ -77,7 +79,16 @@ _COMMIT_COL = "commit"  # physical partition dir column naming the write
 
 
 def _bucket_expr(n_buckets: int):
-    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    """Bucket of a row = ``pmod(murmur3(conv_id), n_buckets)``.
+
+    Murmur3 (``F.hash``) deliberately matches Spark's own HashPartitioning
+    hash: ``repartition(P, "conv_id")`` routes a row to partition
+    ``pmod(murmur3(conv_id), P)``, so whenever ``P`` divides ``n_buckets``
+    every bucket lands wholly inside one task (``H mod n ≡ b ⇒ H mod P =
+    b mod P``). That identity is what lets the ingest hot path resolve and
+    write in ONE exchange (see ``apply_events_batch``) while still emitting
+    exactly one file per touched bucket."""
+    return F.pmod(F.hash(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
 def _bucket_of(rel_path: str) -> int | None:
@@ -631,6 +642,7 @@ class LakeTable:
         n_touched: int | None = None,
         cluster_by: list[str] | None = None,
         bloom_keyset: dict | None = None,
+        aligned: bool = False,
     ) -> list[str]:
         """Write df (must contain the bucket col) into data/, return new rel paths.
 
@@ -649,8 +661,26 @@ class LakeTable:
         """
         token = uuid.uuid4().hex[:12]
         dest = join(self.data_dir, f"{_COMMIT_COL}={token}")
+        # Write-stage width: one task per touched bucket, CLAMPED to 2× the
+        # cluster's core count. A write task carries ~35-40 ms of fixed
+        # overhead beyond its executorRunTime (measured,
+        # scripts/analyze_stages.py): with 32 touched buckets on 1-4 local
+        # cores the pinned 32-task stage was >50% overhead and capped 1→4
+        # scaling at ~0.46. Under the clamp a task holds several whole
+        # buckets (hash on the bucket col) and partitionBy still emits
+        # per-bucket files — layout, pruning, and manifest are unchanged. On
+        # a real cluster defaultParallelism >> n_buckets, so the clamp never
+        # binds and large tables keep full per-bucket write parallelism.
         parts = max(1, n_touched if n_touched is not None else n_buckets)
-        if self.write_fanout > 1 and "_seq" in df.columns:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        parts = min(parts, max(1, 2 * cores))
+        if aligned:
+            # The caller already partitioned df by conv_id into a width that
+            # divides n_buckets (apply_events_batch's fused ingest path), so
+            # every bucket sits wholly inside one task — write as-is, zero
+            # extra exchange; partitionBy below still emits per-bucket files.
+            out = df
+        elif self.write_fanout > 1 and "_seq" in df.columns:
             out = df.repartition(
                 parts * self.write_fanout,
                 F.col(_BUCKET_COL),
@@ -682,15 +712,17 @@ class LakeTable:
                     str(bloom_keyset.get("ndv", 100_000)),
                 )
             )
-        writer.partitionBy(_BUCKET_COL).parquet(dest)
+        with phase("write_job"):
+            writer.partitionBy(_BUCKET_COL).parquet(dest)
 
         # ONE recursive LIST of the fresh token's prefix builds the manifest
         # (control-plane storage interface — object-store LIST, POSIX walk).
-        return [
-            f"{_COMMIT_COL}={token}/{rel}"
-            for rel in self.fs.list_files(dest)
-            if rel.endswith(".parquet") and f"{_BUCKET_COL}=" in rel
-        ]
+        with phase("manifest_list"):
+            return [
+                f"{_COMMIT_COL}={token}/{rel}"
+                for rel in self.fs.list_files(dest)
+                if rel.endswith(".parquet") and f"{_BUCKET_COL}=" in rel
+            ]
 
     def _discard_files(self, added: list[str]) -> None:
         """Delete data files written by a commit attempt that will never be
@@ -734,6 +766,7 @@ class LakeTable:
         epoch_id: int | None = None,
         extra_metrics: Any = None,
         touched: list[int] | None = None,
+        aligned_parts: int | None = None,
     ) -> dict[str, Any]:
         """MERGE one LWW-resolved batch (one row per key, cols: key, op,
         payload..., ts, seq) into the table. Returns commit metrics.
@@ -751,6 +784,13 @@ class LakeTable:
         apply_events_batch ride its lineage on an Observation of the write
         job instead of a separate aggregation action.
 
+        ``aligned_parts``: the batch is ALREADY hash-partitioned by conv_id
+        into this many partitions (a divisor of n_buckets), so the MOR write
+        can skip its own repartition — the fused one-exchange ingest path
+        (see ``_bucket_expr``). Ignored (safe fallback to the normal write
+        shuffle) when the divisibility no longer holds, e.g. after a raced
+        rebucket.
+
         Concurrent writers are safe (optimistic concurrency, see
         :meth:`_publish`): a MOR merge is a pure append, so losing the race
         just republishes the same files at the next version (LWW stamps make
@@ -762,7 +802,9 @@ class LakeTable:
         """
         extra = extra_metrics
         for _ in range(MAX_COMMIT_ATTEMPTS):
-            status, payload = self._merge_once(resolved, app_id, epoch_id, extra, touched)
+            status, payload = self._merge_once(
+                resolved, app_id, epoch_id, extra, touched, aligned_parts
+            )
             if status == "done":
                 return payload
             extra = payload  # callable already evaluated by the aborted attempt
@@ -783,8 +825,10 @@ class LakeTable:
         epoch_id: int | None,
         extra_metrics: Any,
         touched: list[int] | None,
+        aligned_parts: int | None = None,
     ) -> tuple[str, Any]:
-        st = self._state()
+        with phase("state"):
+            st = self._state()
         if epoch_id is not None and (app_id, epoch_id) in st.committed_epochs:
             return "done", {
                 "skipped": True,
@@ -807,20 +851,22 @@ class LakeTable:
             touched = [r[0] for r in batch.select(_BUCKET_COL).distinct().collect()]
 
         # Enforce the physical schema on every batch column (callers may hand
-        # pandas-inferred wider types, e.g. int64 turn_idx).
-        batch_ev = batch.select(
-            F.col("op").cast("string").alias("op"),
-            *[F.col(k).cast(physical[k].dataType).alias(k) for k in KEY_COLS],
+        # pandas-inferred wider types, e.g. int64 turn_idx). One selectExpr:
+        # per-micro-batch driver cost, see canonicalize_events.
+        in_batch = set(batch.columns)
+        batch_ev = batch.selectExpr(
+            "cast(op as string) as op",
             *[
-                (
-                    F.col(c).cast(physical[c].dataType)
-                    if c in batch.columns
-                    else F.lit(None).cast(physical[c].dataType)
-                ).alias(c)
+                f"cast(`{k}` as {physical[k].dataType.simpleString()}) as `{k}`"
+                for k in KEY_COLS
+            ],
+            *[
+                f"cast({f'`{c}`' if c in in_batch else 'null'} as "
+                f"{physical[c].dataType.simpleString()}) as `{c}`"
                 for c in payload_names
             ],
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.col("seq").cast("long").alias("seq"),
+            "cast(ts as timestamp) as ts",
+            "cast(seq as long) as seq",
         )
 
         if st.mode == "mor":
@@ -833,6 +879,7 @@ class LakeTable:
                 st.n_buckets,
                 n_touched=len(touched) if touched is not None else None,
                 bloom_keyset=st.keyset,
+                aligned=bool(aligned_parts) and st.n_buckets % aligned_parts == 0,
             )
             if touched is None:  # free: the written paths name the buckets
                 touched = sorted({_bucket_of(f) for f in added})
@@ -861,8 +908,11 @@ class LakeTable:
             removed = [f for f in st.live_files if _bucket_of(f) in removed_set]
 
         if callable(extra_metrics):  # post-write hook (Observation results)
-            extra_metrics = extra_metrics()
+            with phase("pre_commit"):
+                extra_metrics = extra_metrics()
         metrics = {"buckets_touched": len(touched), **(extra_metrics or {})}
+        with phase("stats"):
+            stats = self._collect_stats(added, st.stats_cols, st.keyset)
         commit = Commit(
             version=st.version + 1,
             added=added,
@@ -871,7 +921,7 @@ class LakeTable:
             app_id=app_id,
             epoch_id=epoch_id,
             metrics=metrics,
-            stats=self._collect_stats(added, st.stats_cols, st.keyset),
+            stats=stats,
         )
 
         def revalidate(new_st) -> Commit:
@@ -902,7 +952,8 @@ class LakeTable:
             return commit
 
         try:
-            version = self._publish(commit, revalidate)
+            with phase("commit"):
+                version = self._publish(commit, revalidate)
         except _EpochRace:
             self._discard_files(commit.added)
             return "done", {
@@ -914,7 +965,8 @@ class LakeTable:
             self._discard_files(commit.added)
             return "redo", extra_metrics
         if st.mode == "mor":
-            self._maybe_compact(touched)
+            with phase("compact_check"):
+                self._maybe_compact(touched)
         return "done", {"skipped": False, "version": version, **metrics}
 
     def _events_to_physical(
@@ -926,18 +978,18 @@ class LakeTable:
         columns keep cross-epoch LWW exact; deletes become tombstones with
         blanked payload (so a stale update can never resurrect a turn).
         """
-        deleted = F.col("op") == F.lit("delete")
-        return events.select(
+        # One selectExpr: per-micro-batch driver cost, see canonicalize_events.
+        return events.selectExpr(
             *KEY_COLS,
             *[
-                F.when(deleted, F.lit(None)).otherwise(F.col(c)).alias(c)
+                f"if(op = 'delete', null, `{c}`) as `{c}`"
                 for c in payload_names
             ],
-            F.col("ts"),
-            F.col("ts").alias("_ts"),
-            F.col("seq").alias("_seq"),
-            deleted.alias("_deleted"),
-            _bucket_expr(n_buckets).alias(_BUCKET_COL),
+            "ts",
+            "ts as _ts",
+            "seq as _seq",
+            "op = 'delete' as _deleted",
+            f"cast(pmod(hash(conv_id), {int(n_buckets)}) as int) as {_BUCKET_COL}",
         )
 
     # ------------------------------------------------------------- compaction

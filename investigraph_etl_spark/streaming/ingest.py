@@ -35,6 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 from investigraph_etl_spark.cdc.apply import apply_events_batch
 from investigraph_etl_spark.cdc.events import CHANGE_EVENT_SCHEMA
 from investigraph_etl_spark.lake.table import LakeTable
+from investigraph_etl_spark.profiling import phase
 
 
 @dataclass
@@ -92,11 +93,25 @@ class IngestPipeline:
         h = hashlib.sha1(os.path.abspath(self.checkpoint_dir).encode()).hexdigest()[:8]
         return f"{self.app_id}@{h}"
 
+    def _dup_hint(self) -> float | None:
+        """Measured duplication (events per key) of the last applied epoch —
+        free from its lineage. apply_events_batch uses it to pick the epoch
+        plan shape (combine-first vs fused one-exchange, see FUSE_DUP_MAX)."""
+        for res in reversed(self.results):
+            ea = res.get("events_applied")
+            cr = res.get("conflicts_resolved")
+            if ea and cr is not None and ea > cr:
+                return ea / (ea - cr)
+        return None
+
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        table = LakeTable.load(self.spark, self.table_root)
-        res = apply_events_batch(
-            table, batch_df, app_id=self.commit_token, epoch_id=batch_id, n_salts=self.n_salts
-        )
+        with phase("epoch"):
+            with phase("table_load"):
+                table = LakeTable.load(self.spark, self.table_root)
+            res = apply_events_batch(
+                table, batch_df, app_id=self.commit_token, epoch_id=batch_id,
+                n_salts=self.n_salts, dup_hint=self._dup_hint(),
+            )
         self.results.append(res)
 
     def run_available_now(self) -> list[dict[str, Any]]:

@@ -177,3 +177,78 @@ def test_lineage_parity_across_apply_paths(spark, tmp_path):
     cow = metrics_of("cow", str(tmp_path / "cow"))
     pd.testing.assert_frame_equal(mor, cow, check_dtype=False)
     assert (mor["events_applied"] > 0).any()
+
+
+def test_fused_epoch_shape_unique_keys(spark, tmp_path):
+    """The adaptive epoch shape: a dup≈1 tail flips epochs ≥2 to the fused
+    one-exchange plan (previous epoch's lineage is the hint). End-to-end
+    result must match the replay oracle, and every MOR commit must still add
+    at most one file per bucket (the murmur3/partition-id alignment)."""
+    import pandas as pd
+
+    from investigraph_etl_spark.cdc.generator import write_epoch_files
+    from investigraph_etl_spark.cdc.oracle import replay_oracle
+    from investigraph_etl_spark.streaming.ingest import IngestPipeline
+
+    n_buckets = 8
+    rows = []
+    t0 = pd.Timestamp("2025-05-01")
+    for epoch in range(3):
+        for i in range(400):  # unique keys per epoch AND across epochs
+            rows.append({
+                "op": "insert", "conv_id": f"c{epoch}-{i}", "turn_idx": 0,
+                "role": "user", "text": f"t{epoch}.{i}", "tool": None,
+                "ts": t0 + pd.Timedelta(seconds=epoch * 1000 + i),
+                "seq": epoch * 1000 + i, "epoch": epoch,
+            })
+    ev = pd.DataFrame(rows)
+    ev["turn_idx"] = ev["turn_idx"].astype("int32")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["tool"] = ev["tool"].astype("string")  # all-null object → parquet INT32
+    landing = str(tmp_path / "landing")
+    write_epoch_files(ev, landing, files_per_epoch=4)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, n_buckets=n_buckets, mode="mor"
+    )
+    table.compact_threshold = 10**9
+    pipe = IngestPipeline(
+        spark, events_dir=landing, table_root=table.root,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=4,
+    )
+    results = pipe.run_available_now()
+    assert len(results) == 3
+    # epoch 1 has no hint (combine-first); epochs 2-3 see dup==1.0 → fused
+    assert pipe._dup_hint() == 1.0
+    # every merge commit added at most one file per bucket
+    for c in table.history():
+        if c.get("epoch_id") is not None and c.get("added"):
+            per_bucket: dict = {}
+            for f in c["added"]:
+                b = [p for p in f.split("/") if p.startswith("bucket=")][0]
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+            assert max(per_bucket.values()) == 1
+    got = (
+        table.read().orderBy("conv_id", "turn_idx")
+        .toPandas()[["conv_id", "turn_idx", "text"]]
+    )
+    want = (
+        replay_oracle(ev.drop(columns=["epoch"]))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "text"]]
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_fused_width_divisor_rules(spark):
+    from investigraph_etl_spark.cdc.apply import _fused_width
+
+    cores = spark.sparkContext.defaultParallelism
+    assert _fused_width(spark, 1) == 1
+    w = _fused_width(spark, 32)
+    if 32 <= 2 * cores:
+        assert w == 32
+    else:
+        assert w is not None and 32 % w == 0 and w <= 2 * cores
+    # prime bucket counts that cannot divide near the core count fall back
+    assert _fused_width(spark, 997) is None

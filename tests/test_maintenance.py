@@ -145,7 +145,7 @@ def test_merge_recomputes_after_concurrent_rebucket(spark, tmp_path):
     assert _state(t)[("c9", 0)] == "raced"
     assert {_bucket_of(f) for f in st.live_files} <= {0, 1, 2, 3}
     # the raced row sits in the NEW layout's bucket for its key
-    nb = spark.sql("select pmod(xxhash64('c9'), 4)").first()[0]
+    nb = spark.sql("select pmod(hash('c9'), 4)").first()[0]
     assert any(_bucket_of(f) == nb for f in st.live_files)
 
 

@@ -60,7 +60,7 @@ def _two_handles(spark, root, mode, n_buckets=2):
 
 
 def _bucket(spark, conv, n):
-    return spark.sql(f"select pmod(xxhash64('{conv}'), {n})").first()[0]
+    return spark.sql(f"select pmod(hash('{conv}'), {n})").first()[0]
 
 
 def test_mor_concurrent_merges_both_land(spark, tmp_path):
