@@ -1,0 +1,171 @@
+"""Deterministic in-repo byte-pair-encoding tokenizer.
+
+For training-data preparation the TOKEN budget is the contract — chunk sizes
+and packing bins counted in whitespace tokens misestimate real context
+windows. This module provides a small, dependency-free BPE with:
+
+- :func:`train_bpe` — classic BPE training (word-frequency table, iterative
+  most-frequent-pair merges) with a total deterministic order: ties break on
+  the lexicographically smallest pair, so the same corpus yields the same
+  merges table on every run and machine.
+- :class:`BpeTokenizer` — the trained merges + ranks, with a pure-Python
+  reference :meth:`encode` (the parity oracle for the distributed face).
+- :func:`pieces_udf` / :func:`token_count_udf` — Arrow-batched pandas UDFs
+  applying the tokenizer corpus-wide (the input_hint's sanctioned Python
+  surface: vectorized pandas/Arrow, never per-row Python in Catalyst).
+
+The whitespace tokenizer (functions/text.py ``tokens``) remains the DuckDB
+oracle twin for the driver's value-hash gate; BPE faces are pytest-verified
+against :meth:`BpeTokenizer.encode` (SQL cannot express the merge loop).
+
+Scale shape: training is driver-side on a BOUNDED sample (the merges table is
+the model — a few hundred rows); application is embarrassingly parallel, one
+Arrow batch at a time, with a per-batch word cache (Zipf makes the cache hit
+rate high). The merges table ships to executors inside the UDF closure
+(~KBs), the same way a broadcast variable would.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve module-globally)
+from pyspark.sql.functions import pandas_udf
+
+#: End-of-word marker appended to every word before merging — makes word
+#: boundaries explicit in the pieces, so detokenization is exact under
+#: whitespace normalization.
+EOW = "▁"  # ▁ (same glyph family SentencePiece uses, reversed role)
+
+
+def train_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from an iterable of texts.
+
+    Deterministic: pair selection orders by (count DESC, pair ASC). Words are
+    whitespace-split; characters + EOW are the base alphabet.
+    """
+    words: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            words[tuple(w) + (EOW,)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        out: Counter = Counter()
+        for sym, c in words.items():
+            new = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            out[tuple(new)] += c
+        words = out
+    return merges
+
+
+@dataclass(frozen=True)
+class BpeTokenizer:
+    """A trained merges table; hashable/serializable closure payload."""
+
+    merges: tuple[tuple[str, str], ...]
+    ranks: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def __post_init__(self) -> None:
+        object.__setattr__(
+            self, "ranks", {pair: r for r, pair in enumerate(self.merges)}
+        )
+
+    @classmethod
+    def train(cls, texts: Iterable[str], n_merges: int = 200) -> "BpeTokenizer":
+        return cls(merges=tuple(train_bpe(texts, n_merges)))
+
+    @classmethod
+    def train_from_df(
+        cls, df, text_col: str = "text", n_merges: int = 200, max_docs: int = 2000
+    ) -> "BpeTokenizer":
+        """Train on a bounded deterministic sample of a DataFrame column
+        (driver-side collect of ≤ ``max_docs`` short strings — the one
+        justified collect; the model itself is KBs)."""
+        rows = df.select(text_col).limit(max_docs).collect()
+        return cls.train((r[0] or "" for r in rows), n_merges)
+
+    # ------------------------------------------------------ reference encoder
+    def encode_word(self, word: str, _cache: dict | None = None) -> list[str]:
+        if _cache is not None and word in _cache:
+            return _cache[word]
+        sym = list(word) + [EOW]
+        ranks = self.ranks
+        while len(sym) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            sym[best_i: best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        if _cache is not None:
+            _cache[word] = sym
+        return sym
+
+    def encode(self, text: str) -> list[str]:
+        """Pure-Python reference encoding (the UDF parity oracle)."""
+        cache: dict = {}
+        out: list[str] = []
+        for w in (text or "").split():
+            out.extend(self.encode_word(w, cache))
+        return out
+
+    def decode(self, pieces: list[str]) -> str:
+        """Exact inverse under whitespace normalization."""
+        return "".join(pieces).replace(EOW, " ").strip()
+
+
+def pieces_udf(tok: BpeTokenizer):
+    """Arrow-batched ``text -> array<string>`` of BPE pieces."""
+    merges = tok.merges
+
+    @pandas_udf("array<string>")
+    def f(s: pd.Series) -> pd.Series:
+        t = BpeTokenizer(merges)
+        cache: dict = {}
+        def enc(text):
+            out = []
+            for w in (text or "").split():
+                out.extend(t.encode_word(w, cache))
+            return out
+        return s.map(enc)
+
+    return f
+
+
+def token_count_udf(tok: BpeTokenizer):
+    """Arrow-batched ``text -> long`` BPE token count."""
+    merges = tok.merges
+
+    @pandas_udf("long")
+    def f(s: pd.Series) -> pd.Series:
+        t = BpeTokenizer(merges)
+        cache: dict = {}
+        def cnt(text):
+            n = 0
+            for w in (text or "").split():
+                n += len(t.encode_word(w, cache))
+            return n
+        return s.map(cnt)
+
+    return f

@@ -41,15 +41,33 @@ from investigraph_etl_spark.functions.text import tokens, tokens_sql
 
 # ------------------------------------------------------------------ chunking
 def chunk_tokens(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """Split each document into consecutive ``k``-token chunks.
 
     Output: one row per chunk — (id, chunk_idx, chunk_text, n_tokens) with
     ``n_tokens == k`` everywhere except the final chunk. Zero-token documents
     yield no rows. Narrow (explode over a per-row index sequence); no shuffle.
+
+    ``tokenizer``: a trained :class:`functions.bpe.BpeTokenizer` — the token
+    budget ``k`` is then counted in REAL BPE tokens (the training-data
+    contract) instead of whitespace tokens, the pieces come from one
+    Arrow-batched pandas UDF per row, and ``chunk_text`` is the exact
+    detokenization of the chunk's pieces (whitespace-normalized). The
+    whitespace face (default) stays the DuckDB oracle twin.
     """
-    toks = tokens(F.col(text_col))
+    if tokenizer is not None:
+        from investigraph_etl_spark.functions.bpe import EOW, pieces_udf
+
+        toks = pieces_udf(tokenizer)(F.col(text_col))
+        detok = lambda c: F.trim(F.regexp_replace(F.concat_ws("", c), EOW, " "))  # noqa: E731
+    else:
+        toks = tokens(F.col(text_col))
+        detok = lambda c: F.concat_ws(" ", c)  # noqa: E731
     base = df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") > 0)
     n_chunks = F.ceil(F.size("_toks") / F.lit(k)).cast("int")
     out = base.select(
@@ -61,7 +79,7 @@ def chunk_tokens(
     return out.select(
         id_col,
         (F.col("_i") - 1).cast("long").alias("chunk_idx"),
-        F.concat_ws(" ", F.slice("_toks", start + 1, k)).alias("chunk_text"),
+        detok(F.slice("_toks", start + 1, k)).alias("chunk_text"),
         F.least(F.size("_toks") - start, F.lit(k)).cast("long").alias("n_tokens"),
     )
 
@@ -121,6 +139,18 @@ def sample_hash_sql(
 
 
 # ------------------------------------------------------------------- packing
+def with_token_counts(
+    df: DataFrame, tokenizer, text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Add a real-BPE token-count column (Arrow-batched) — the canonical
+    input to :func:`pack_sequences` when budgets are measured in BPE tokens
+    (``pack_sequences(with_token_counts(df, tok), budget=4096)``)."""
+    from investigraph_etl_spark.functions.bpe import token_count_udf
+
+    return df.withColumn(out_col, token_count_udf(tokenizer)(F.col(text_col)))
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -505,6 +505,124 @@ QUALIFY rank <= {k}
 """
 
 
+def ann_recall(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    lsh_kw: dict | None = None,
+    ivf_kw: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    verify_kernel: str = "catalyst",
+) -> DataFrame:
+    """recall@k of the approximate ANN paths vs the exact baseline.
+
+    A 100 TB curation pipeline tunes nprobe / tables / planes / probe_bits
+    against MEASURED recall — this is that surface, first-class: one
+    DataFrame ``(method, hits, possible, recall)`` with ``method`` in
+    {"ivf", "lsh"}, ``possible`` = |exact top-k| (≤ n_queries × k), and
+    ``recall = hits / possible``. Parameterize the approximate paths via
+    ``lsh_kw`` (n_tables, n_planes, probe_bits) and ``ivf_kw`` (n_centroids,
+    nprobe, centroids=train_centroids(...) for the trained quantizer).
+
+    All-declarative: exact/ivf reuse :func:`cosine_topk`/:func:`ivf_topk`;
+    the LSH top-k ranks each query's verified candidate pairs. No collect —
+    the result is n_methods rows from two aggregations.
+    """
+    lsh_kw = dict(lsh_kw or {})
+    ivf_kw = dict(ivf_kw or {})
+    common = dict(id_col=id_col, vec_col=vec_col, verify_kernel=verify_kernel)
+    exact = cosine_topk(emb, n_queries=n_queries, k=k, **common).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(emb, n_queries=n_queries, k=k, **common, **ivf_kw).select(
+        "query_id", "neighbor_id"
+    )
+    pairs = lsh_neighbors(emb, threshold=-1.0, **common, **lsh_kw)
+    cand = pairs.selectExpr(
+        "id_a as query_id", "id_b as neighbor_id", "cos"
+    ).unionByName(
+        pairs.selectExpr("id_b as query_id", "id_a as neighbor_id", "cos")
+    ).filter(F.col("query_id") < n_queries)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    lsh = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    tagged = lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
+    )
+    hit = exact.withColumn("_hit", F.lit(1))
+    per = (
+        tagged.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+    )
+    possible = exact.agg(F.count(F.lit(1)).cast("long").alias("possible"))
+    return (
+        per.crossJoin(possible)
+        .select(
+            "method",
+            "hits",
+            "possible",
+            (F.col("hits") / F.col("possible")).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
+def ann_recall_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    lsh_kw: dict | None = None,
+    ivf_kw: dict | None = None,
+) -> str:
+    """DuckDB twin of :func:`ann_recall` — composes the three existing
+    oracle SQL bodies as derived tables (each carries its own WITH)."""
+    lsh_kw = dict(lsh_kw or {})
+    ivf_kw = dict(ivf_kw or {})
+    exact_sql = cosine_topk_sql(table, n_queries=n_queries, k=k)
+    ivf_sql = ivf_topk_sql(table, n_queries=n_queries, k=k, **ivf_kw)
+    pairs_sql = lsh_neighbors_sql(table, threshold=-1.0, **lsh_kw)
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({exact_sql})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ivf_sql})),
+lshp AS (SELECT * FROM ({pairs_sql})),
+lshc AS (
+  SELECT id_a AS query_id, id_b AS neighbor_id, cos FROM lshp
+  UNION ALL
+  SELECT id_b AS query_id, id_a AS neighbor_id, cos FROM lshp
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS r
+    FROM lshc WHERE query_id < {n_queries}
+  ) WHERE r <= {k}
+),
+tagged AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+),
+poss AS (SELECT count(*)::BIGINT AS possible FROM exact)
+SELECT t.method,
+       sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits,
+       max(p.possible)::BIGINT AS possible,
+       sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / max(p.possible)::BIGINT AS recall
+FROM tagged t
+LEFT JOIN exact e
+  ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+CROSS JOIN poss p
+GROUP BY t.method
+ORDER BY method
+"""
+
+
 def embedding_neardup(
     emb: DataFrame, threshold: float = 0.4, **kw
 ) -> DataFrame:

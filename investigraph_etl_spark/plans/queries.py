@@ -697,6 +697,13 @@ def q_ann_ivf(spark, sf_dir):
 # ============================================================== multimodal ===
 
 
+def q_ann_recall(spark, sf_dir):
+    """First-class recall@10 report of both approximate ANN paths vs the
+    exact baseline (round-3 verdict #5): the surface a 100 TB curation
+    pipeline tunes nprobe/bands against."""
+    return S.ann_recall(_t(spark, sf_dir, "embeddings"), lsh_kw=_LSH_SMALL)
+
+
 def q_multimodal_metadata(spark, sf_dir):
     media = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.extract_media_metadata(media)
@@ -1053,6 +1060,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
     "pivot_user_event_counts": q_pivot_user_event_counts,
@@ -1102,6 +1110,7 @@ ORACLES = {
     "ann_topk": S.cosine_topk_sql(),
     "ann_lsh": S.lsh_neighbors_sql(**_LSH_SMALL),
     "ann_ivf": S.ivf_topk_sql(),
+    "ann_recall": S.ann_recall_sql(lsh_kw=_LSH_SMALL),
     "multimodal_metadata": M.media_metadata_sql(),
     "multimodal_decode": M.decode_images_sql(),
     "pivot_user_event_counts": _PIVOT_ORACLE,
