@@ -158,6 +158,106 @@ def _ppm_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px
 
 
+# ----------------------------------------------------- codec registry
+# Codecs are registered by MAGIC BYTES (round-3 verdict #7): decode stages
+# sniff each payload and dispatch, so a corpus can mix formats in one binary
+# column. In-repo (numpy-only, run end-to-end in this container): netpbm P6
+# and uncompressed 24-bit BMP — both genuine interchange formats. A
+# PIL-backed JPEG/PNG/WebP codec registers automatically when PIL is
+# importable (skip-if-unimportable in tests); anything heavier (MP4) slots
+# into the same signature.
+
+#: name -> (sniff(buf) -> bool, decode(buf) -> (w, h, HxWx3 uint8))
+_CODECS: dict[str, tuple] = {}
+
+
+def register_codec(name: str, sniff, decode) -> None:
+    _CODECS[name] = (sniff, decode)
+
+
+def decode_image(buf: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Sniff the payload's magic bytes and decode with the matching codec."""
+    for name, (sniff, decode) in _CODECS.items():
+        if sniff(buf):
+            return decode(buf)
+    raise ValueError(
+        f"no codec for payload starting {buf[:8]!r}; registered: {sorted(_CODECS)}"
+    )
+
+
+def _bmp_encode(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR order)."""
+    import struct
+
+    row = width * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        body += pixels[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    off = 14 + 40
+    size = off + len(body)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return head + dib + bytes(body)
+
+
+def _bmp_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed 24-bit BMP (the only BMP variant produced by
+    :func:`_bmp_encode` and the overwhelmingly common one) with numpy alone."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    width, height = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    flip = height > 0
+    height = abs(height)
+    row = width * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(buf, dtype=np.uint8, count=stride * height, offset=off)
+    px = data.reshape(height, stride)[:, :row].reshape(height, width, 3)[:, :, ::-1]
+    if flip:
+        px = px[::-1]
+    return width, height, np.ascontiguousarray(px)
+
+
+def _pil_decode(buf: bytes) -> tuple[int, int, "np.ndarray"]:
+    import io as _io
+
+    from PIL import Image  # gated: registered only when importable
+
+    img = Image.open(_io.BytesIO(buf)).convert("RGB")
+    px = np.asarray(img, dtype=np.uint8)
+    return img.width, img.height, px
+
+
+register_codec(
+    "netpbm",
+    lambda b: b[:2] == b"P6" and b[2:3] in (b" ", b"\n", b"\t"),
+    lambda b: _ppm_decode(b),
+)
+register_codec("bmp", lambda b: b[:2] == b"BM", _bmp_decode)
+try:  # real-format codecs when the deployment image ships PIL
+    import PIL  # noqa: F401
+
+    register_codec(
+        "pil",
+        lambda b: b[:3] == b"\xff\xd8\xff"  # JPEG
+        or b[:8] == b"\x89PNG\r\n\x1a\n"  # PNG
+        or (b[:4] == b"RIFF" and b[8:12] == b"WEBP"),  # WebP
+        _pil_decode,
+    )
+except ImportError:
+    pass
+
+
 def image_dims(doc_id: int) -> tuple[int, int]:
     """Deterministic synthetic image geometry per doc (4-16 × 3-9)."""
     return 4 + doc_id % 13, 3 + doc_id % 7
@@ -196,9 +296,11 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """Image decode + feature extraction over Arrow binary batches: parse the
-    netpbm container, return geometry + per-channel means. One narrow
-    mapInPandas stage — payloads never leave the executor."""
+    """Image decode + feature extraction over Arrow binary batches: sniff
+    each payload's magic bytes, decode with the matching registered codec
+    (netpbm / BMP in-repo; JPEG/PNG/WebP when PIL is present), return
+    geometry + per-channel means. One narrow mapInPandas stage — payloads
+    never leave the executor."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,7 +308,7 @@ def decode_images(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(
                 pdf["doc_id"].astype("int64"), pdf["payload"]
             ):
-                w, h, px = _ppm_decode(bytes(payload))
+                w, h, px = decode_image(bytes(payload))
                 means = px.reshape(-1, 3).astype(np.int64).sum(axis=0) / (w * h)
                 rows.append((int(doc_id), w, h, *map(float, means)))
             yield pd.DataFrame(
@@ -252,7 +354,7 @@ def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame
         for pdf in batches:
             payloads = []
             for payload in pdf["payload"]:
-                w, h, px = _ppm_decode(bytes(payload))
+                w, h, px = decode_image(bytes(payload))  # any registered codec in
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
                 small = px[ys][:, xs]

@@ -439,3 +439,73 @@ def test_ann_recall_report_and_tuning(spark, emb, duck):
         ).collect()
     }
     assert r_train["ivf"] > r_samp["ivf"]
+
+
+def test_codec_registry_bmp_real_format(spark, docs):
+    """Round-3 verdict #7: pluggable codecs keyed by magic bytes, with at
+    least one REAL raster format decodable in-sandbox. Pure-numpy 24-bit BMP:
+    encode → sniff → decode round-trips pixels exactly (incl. row padding on
+    non-multiple-of-4 widths), and a MIXED-format binary column (netpbm +
+    BMP rows) decodes to identical features through the one decode stage."""
+    import numpy as np
+
+    from investigraph_etl_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    for w, h in ((5, 3), (4, 4), (7, 2), (1, 1)):  # 5,7 exercise row padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = MM._bmp_encode(w, h, px)
+        assert buf[:2] == b"BM"
+        w2, h2, px2 = MM.decode_image(buf)  # dispatches by magic
+        assert (w2, h2) == (w, h)
+        assert (px2 == px).all()
+    with pytest.raises(ValueError, match="no codec"):
+        MM.decode_image(b"\x00\x01garbage")
+
+    # mixed-format column: re-encode every even doc's netpbm payload as BMP
+    import pandas as pd
+
+    media = MM.with_image_payload(docs.limit(20))
+
+    def to_bmp(it):
+        for pdf in it:
+            payloads = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if int(doc_id) % 2 == 0:
+                    w, h, px = MM._ppm_decode(bytes(payload))
+                    payloads.append(MM._bmp_encode(w, h, px))
+                else:
+                    payloads.append(bytes(payload))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "payload": payloads,
+                "media_type": pdf["media_type"],
+            })
+
+    mixed = media.mapInPandas(to_bmp, schema=media.schema)
+    a = {r.doc_id: r for r in MM.decode_images(media).collect()}
+    b = {r.doc_id: r for r in MM.decode_images(mixed).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert tuple(a[k]) == tuple(b[k])  # identical features either format
+    # resize accepts any registered codec in
+    small = {r.doc_id: r for r in MM.decode_images(
+        MM.resize_images(mixed, 2, 2)).collect()}
+    assert all((small[k].width, small[k].height) == (2, 2) for k in small)
+
+
+def test_codec_registry_pil_real_formats(spark, docs):
+    """PNG/JPEG through the same registry when PIL is present (the
+    deployment-image path; skipped in this sandbox)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from investigraph_etl_spark.operators import multimodal as MM
+
+    px = np.random.default_rng(3).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    w, h, got = MM.decode_image(buf.getvalue())
+    assert (w, h) == (6, 4) and (got == px).all()
