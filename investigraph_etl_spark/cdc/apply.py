@@ -63,6 +63,14 @@ OBS_LINEAGE_MAX_BUCKETS = 64
 #: lineage for free); below this threshold the next epoch runs fused.
 FUSE_DUP_MAX = 2.0
 
+#: The fused exchange partitions by conv_id, so one red-hot conversation
+#: serializes its whole bucket into one task. The per-bucket lineage gives
+#: the previous epoch's hottest-bucket share for free; at or above this
+#: share the epoch stays on the combine-first shape, whose first exchange
+#: spreads by (conv, turn) and whose write can additionally fan out
+#: (LakeTable.write_fanout).
+FUSE_SKEW_MAX = 0.25
+
 
 def apply_events_batch(
     table: LakeTable,
@@ -71,6 +79,7 @@ def apply_events_batch(
     epoch_id: int,
     n_salts: int | None = None,
     dup_hint: float | None = None,
+    skew_hint: float | None = None,
 ) -> dict[str, Any]:
     """Apply one raw event micro-batch to the table, exactly once.
 
@@ -105,7 +114,10 @@ def apply_events_batch(
     override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH")  # ops/tuning knob
     fuse = mor_fast and not n_salts and (
         bool(int(override)) if override
-        else (dup_hint is not None and dup_hint < FUSE_DUP_MAX)
+        else (
+            dup_hint is not None and dup_hint < FUSE_DUP_MAX
+            and (skew_hint is None or skew_hint < FUSE_SKEW_MAX)
+        )
     )
     pre_parts = _fused_width(table.spark, st.n_buckets) if fuse else None
     resolved = resolve_lww(
@@ -185,7 +197,15 @@ def _apply_mor_one_action(
         _write_metrics(table, epoch_id, per_bucket, n_quar)
         n_events = int(per_bucket["events_applied"].sum()) if len(per_bucket) else 0
         n_keys = sum(int(vals[f"nk_{b}"] or 0) for b in range(st.n_buckets))
-        side.update({"events_applied": n_events, "events_quarantined": n_quar})
+        share = (
+            float(per_bucket["events_applied"].max() / n_events)
+            if n_events else 0.0
+        )
+        side.update({
+            "events_applied": n_events,
+            "events_quarantined": n_quar,
+            "max_bucket_share": share,
+        })
         return {
             "events_applied": n_events,
             "events_quarantined": n_quar,
@@ -201,6 +221,7 @@ def _apply_mor_one_action(
     )
     if not result.get("skipped"):
         result.update(side)
+        result["plan_shape"] = "fused" if aligned_parts else "combine"
     return result
 
 
@@ -244,7 +265,16 @@ def _apply_two_action(
             touched=touched,
             extra_metrics=pre_commit,
         )
-        result.update({"events_applied": n_events, "events_quarantined": n_quar})
+        share = (
+            float(per_bucket["events_applied"].max() / n_events)
+            if n_events else 0.0
+        )
+        result.update({
+            "events_applied": n_events,
+            "events_quarantined": n_quar,
+            "max_bucket_share": share,
+            "plan_shape": "two_action",
+        })
         return result
     finally:
         resolved.unpersist()

@@ -218,7 +218,8 @@ def test_fused_epoch_shape_unique_keys(spark, tmp_path):
     results = pipe.run_available_now()
     assert len(results) == 3
     # epoch 1 has no hint (combine-first); epochs 2-3 see dup==1.0 → fused
-    assert pipe._dup_hint() == 1.0
+    assert pipe._shape_hints() == (1.0, pytest.approx(results[-1]["max_bucket_share"]))
+    assert [r["plan_shape"] for r in results] == ["combine", "fused", "fused"]
     # every merge commit added at most one file per bucket
     for c in table.history():
         if c.get("epoch_id") is not None and c.get("added"):
@@ -252,3 +253,48 @@ def test_fused_width_divisor_rules(spark):
         assert w is not None and 32 % w == 0 and w <= 2 * cores
     # prime bucket counts that cannot divide near the core count fall back
     assert _fused_width(spark, 997) is None
+
+
+def test_hot_bucket_tail_stays_on_combine_shape(spark, tmp_path):
+    """A dup≈1 tail would normally fuse — but when one conversation owns
+    ~50% of the previous epoch (hottest-bucket share ≥ FUSE_SKEW_MAX, free
+    from lineage), the fused conv_id exchange would serialize that bucket
+    into one task, so the epoch must stay combine-first."""
+    import pandas as pd
+
+    from investigraph_etl_spark.cdc.generator import write_epoch_files
+    from investigraph_etl_spark.streaming.ingest import IngestPipeline
+
+    rows = []
+    t0 = pd.Timestamp("2025-06-01")
+    seq = 0
+    for epoch in range(2):
+        for i in range(400):
+            hot = i % 2 == 0
+            rows.append({
+                "op": "insert",
+                "conv_id": "hot-conv" if hot else f"c{epoch}-{i}",
+                "turn_idx": seq if hot else 0,
+                "role": "user", "text": f"t{seq}", "tool": None,
+                "ts": t0 + pd.Timedelta(seconds=seq), "seq": seq, "epoch": epoch,
+            })
+            seq += 1
+    ev = pd.DataFrame(rows)
+    ev["turn_idx"] = ev["turn_idx"].astype("int32")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["tool"] = ev["tool"].astype("string")
+    landing = str(tmp_path / "landing")
+    write_epoch_files(ev, landing, files_per_epoch=4)
+    LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                     n_buckets=8, mode="mor")
+    pipe = IngestPipeline(
+        spark, events_dir=landing, table_root=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=4,
+    )
+    results = pipe.run_available_now()
+    assert len(results) == 2
+    assert all(r["max_bucket_share"] >= 0.5 for r in results)
+    dup, skew = pipe._shape_hints()
+    assert dup == 1.0 and skew >= 0.5
+    # dup says fuse; the skew gate must override
+    assert [r["plan_shape"] for r in results] == ["combine", "combine"]
