@@ -536,7 +536,7 @@ def scaling() -> None:
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')} UTC)\n\n"
             f"Same job, N={N} vs 4N={N4} cores (driver-sanctioned pair), "
-            f"best of {ROUNDS} interleaved rounds, zstd, tmpfs, JIT-warmed.\n\n"
+            f"best of {ROUNDS} interleaved rounds, zstd parquet + lz4 shuffle, tmpfs, JIT-warmed.\n\n"
             f"| job | local[{N}] | local[{N4}] | speedup | efficiency |\n"
             f"|---|---|---|---|---|\n"
             f"| CDC ingest ({ing_n['events']:,} ev, {ing_n['epochs']} epochs) "
