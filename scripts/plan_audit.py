@@ -125,6 +125,13 @@ AUDITED: dict[str, str] = {
         "comes from per-group `array_sort`, so there is no global `Sort` "
         "and no `Exchange rangepartitioning`."
     ),
+    "ann_recall": (
+        "the three sub-plans keep their own audited shapes (exact: broadcast "
+        "query side + windowed top-k; lsh: ONE bucket-collect exchange + "
+        "broadcast-able verify joins; ivf: broadcast quantizer, no corpus "
+        "shuffle); the recall join is id-pairs only (never vectors through "
+        "an Exchange) and the final aggregation is n_methods rows."
+    ),
 }
 
 
