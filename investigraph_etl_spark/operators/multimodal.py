@@ -370,6 +370,149 @@ def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame
     return media.mapInPandas(_resize, schema=out_schema)
 
 
+# -------------------------------------------------------------------- audio
+# A REAL audio container, in-repo: RIFF/WAVE with 16-bit mono PCM — parsed
+# and produced with struct+numpy alone, so the audio decode path runs
+# end-to-end on genuine .wav bytes in this container. Compressed codecs
+# (mp3/opus) slot into the same mapInPandas signature via pyav/soundfile.
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def _wav_encode(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Encode int16 mono PCM as a canonical RIFF/WAVE file."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_decode(buf: bytes) -> tuple[int, np.ndarray]:
+    """Decode RIFF/WAVE 16-bit mono PCM by walking the chunk list (skips
+    unknown chunks, as real writers insert LIST/INFO blocks)."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, sr, data = 12, None, None
+    while off + 8 <= len(buf):
+        cid = buf[off: off + 4]
+        size = struct.unpack_from("<I", buf, off + 4)[0]
+        body = buf[off + 8: off + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt_tag} ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(sr), data
+
+
+def audio_len(doc_id: int) -> int:
+    """Deterministic synthetic sample count per doc (200-499)."""
+    return 200 + doc_id % 300
+
+
+def with_audio_payload(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Attach a REAL (RIFF/WAVE PCM) audio payload per doc — deterministic
+    samples ``((doc_id*31 + i*17) % 65536) - 32768`` so decode features are
+    independently reproducible (incl. by the DuckDB oracle)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_type", T.StringType(), False),
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                n = audio_len(int(doc_id))
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(doc_id) * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(_wav_encode(sample_rate, samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_encode, schema=out_schema)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """WAV decode + feature extraraction over Arrow binary batches: parse the
+    RIFF chunk list, return rate/length/duration + integer amplitude stats
+    (exact in both engines — no float summation order issues). One narrow
+    mapInPandas stage."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                sr, samples = _wav_decode(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                rows.append(
+                    (
+                        int(doc_id),
+                        sr,
+                        int(samples.size),
+                        int(samples.size * 1000) // sr,
+                        int(a.sum()),
+                        int(a.max()) if a.size else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "sum_abs", "peak",
+                ],
+            )
+
+    return media.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def decode_audio_sql(table: str = "documents", sample_rate: int = 8000) -> str:
+    """DuckDB twin of with_audio_payload → decode_audio: rebuilds the same
+    deterministic sample function and aggregates the identical integer
+    features."""
+    n = "(200 + doc_id % 300)"
+    v = "((doc_id*31 + i*17) % 65536 - 32768)"
+    return f"""
+SELECT doc_id,
+       {sample_rate}::INTEGER AS sample_rate,
+       {n}::BIGINT AS n_samples,
+       ({n} * 1000) // {sample_rate} AS duration_ms,
+       (list_sum(list_transform(generate_series(0, {n} - 1),
+                                i -> abs({v}))))::BIGINT AS sum_abs,
+       (list_max(list_transform(generate_series(0, {n} - 1),
+                                i -> abs({v}))))::INTEGER AS peak
+FROM {table}
+"""
+
+
 def with_video_payload(docs: DataFrame, n_frames: int = 6, fps: int = 2) -> DataFrame:
     """Attach a raw video stand-in: ``n_frames`` concatenated binary PPM
     frames (the structure of y4m/raw pipes), frame f's pixels derived from

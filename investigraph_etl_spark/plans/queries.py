@@ -719,6 +719,15 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio face of the multimodal family: REAL RIFF/WAVE PCM payloads
+    synthesized deterministically per doc, decoded back by walking the chunk
+    list (numpy-only) — rate/length/duration + exact integer amplitude
+    stats. Same Arrow-batched mapInPandas plumbing as the image codecs."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.decode_audio(M.with_audio_payload(docs))
+
+
 def q_pivot_user_event_counts(spark, sf_dir):
     """Pivot (wide aggregation): per-user counts by event_type as columns.
     Expressed as CASE-sums (portable, identical in both engines; Spark's
@@ -1063,6 +1072,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "rollup_pricing": q_rollup_pricing,
     "cube_pricing": q_cube_pricing,
@@ -1113,6 +1123,7 @@ ORACLES = {
     "ann_recall": S.ann_recall_sql(lsh_kw=_LSH_SMALL),
     "multimodal_metadata": M.media_metadata_sql(),
     "multimodal_decode": M.decode_images_sql(),
+    "multimodal_audio": M.decode_audio_sql(),
     "pivot_user_event_counts": _PIVOT_ORACLE,
     "rollup_pricing": _ROLLUP_ORACLE,
     "cube_pricing": _CUBE_ORACLE,

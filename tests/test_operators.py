@@ -509,3 +509,35 @@ def test_codec_registry_pil_real_formats(spark, docs):
     Image.fromarray(px).save(buf, format="PNG")
     w, h, got = MM.decode_image(buf.getvalue())
     assert (w, h) == (6, 4) and (got == px).all()
+
+
+def test_wav_codec_roundtrip_and_chunk_walk(spark, docs, duck):
+    """Real RIFF/WAVE PCM in-repo: encode→decode round-trips samples exactly;
+    the decoder walks the chunk list (tolerating inserted LIST chunks and
+    word-aligned odd-size chunks like real writers produce); and the oracled
+    feature face matches DuckDB."""
+    import struct
+
+    import numpy as np
+
+    from investigraph_etl_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=321, dtype=np.int16)
+    buf = MM._wav_encode(8000, samples)
+    sr, got = MM._wav_decode(buf)
+    assert sr == 8000 and (got == samples).all()
+    # inject a LIST/INFO chunk (odd size -> word-aligned) between fmt and data
+    fmt_end = buf.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    buf2 = buf[:fmt_end] + junk + buf[fmt_end:]
+    sr2, got2 = MM._wav_decode(buf2)
+    assert sr2 == 8000 and (got2 == samples).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        MM._wav_decode(b"not audio at all")
+    # oracled feature face (the multimodal_audio registry entry)
+    _assert_matches(
+        MM.decode_audio(MM.with_audio_payload(docs)),
+        duck,
+        MM.decode_audio_sql(),
+    )
