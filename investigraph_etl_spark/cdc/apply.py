@@ -111,9 +111,9 @@ def apply_events_batch(
     # (see FUSE_DUP_MAX). Unknown duplication → combine-first.
     import os
 
-    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH")  # ops/tuning knob
+    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH") or None  # ops knob
     fuse = mor_fast and not n_salts and (
-        bool(int(override)) if override
+        bool(int(override)) if override is not None
         else (
             dup_hint is not None and dup_hint < FUSE_DUP_MAX
             and (skew_hint is None or skew_hint < FUSE_SKEW_MAX)
@@ -143,7 +143,7 @@ def _fused_width(spark, n_buckets: int) -> int | None:
     divisor would under-use the machine."""
     import os
 
-    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH")
+    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH") or None
     if override is not None:  # ops/tuning knob: 0 disables the fused path
         return int(override) or None
     cores = spark.sparkContext.defaultParallelism

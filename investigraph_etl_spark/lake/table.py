@@ -674,11 +674,13 @@ class LakeTable:
         parts = max(1, n_touched if n_touched is not None else n_buckets)
         cores = df.sparkSession.sparkContext.defaultParallelism
         parts = min(parts, max(1, 2 * cores))
-        if aligned:
+        if aligned and not (self.write_fanout > 1 and "_seq" in df.columns):
             # The caller already partitioned df by conv_id into a width that
             # divides n_buckets (apply_events_batch's fused ingest path), so
             # every bucket sits wholly inside one task — write as-is, zero
             # extra exchange; partitionBy below still emits per-bucket files.
+            # An explicit write_fanout is an operator's skew decision and
+            # takes precedence (the extra exchange is the point of fan-out).
             out = df
         elif self.write_fanout > 1 and "_seq" in df.columns:
             out = df.repartition(

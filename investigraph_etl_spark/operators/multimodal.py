@@ -462,7 +462,7 @@ def with_audio_payload(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
 
 
 def decode_audio(media: DataFrame) -> DataFrame:
-    """WAV decode + feature extraraction over Arrow binary batches: parse the
+    """WAV decode + feature extraction over Arrow binary batches: parse the
     RIFF chunk list, return rate/length/duration + integer amplitude stats
     (exact in both engines — no float summation order issues). One narrow
     mapInPandas stage."""
