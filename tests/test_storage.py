@@ -297,7 +297,7 @@ def test_commit_log_runs_on_fsspec_adapter(tmp_path, monkeypatch):
 
     fake = FakeFsspecFS()
     monkeypatch.setitem(storage_mod._SCHEMES, "fakefs", FsspecStorage(fake))
-    root = f"fakefs:/{tmp_path}/wh/tbl"  # _p strips to the tmp path
+    root = f"fakefs://{tmp_path}/wh/tbl"  # _p strips to the absolute tmp path
     log = CommitLog(root)
     assert not log.exists()
     log.commit(Commit(version=1, schema={"s": 1}, n_buckets=8,
