@@ -570,4 +570,33 @@ if __name__ == "__main__":
         print(json.dumps(run_skew(spark)))
         spark.stop()
     else:
-        print(json.dumps(main()))
+        full = main()
+        # The driver machine-reads only the LAST ~2 KB of stdout (BENCH_r04
+        # lesson: the full report with the `timing` diagnostics block
+        # overflowed the capture and recorded `parsed: null`). Write the
+        # full artifact to a file and print a compact summary — headline +
+        # per-query seconds only — as the final stdout line.
+        root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(root, "BENCH_artifact.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        compact = {
+            "metric": "change-events/sec applied end-to-end (CDC ingest)",
+            "value": full["value"],
+            "unit": full["unit"],
+            "queries": {k: round(v, 3) for k, v in full["queries"].items()},
+            "sf": full["sf"],
+            "cpus": full["cpus"],
+            "full_artifact": "BENCH_artifact.json",
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        # hard guarantee: stay within the driver's tail capture
+        if len(line) > 2000:
+            compact["queries"] = {
+                k: round(v, 2)
+                for k, v in sorted(
+                    full["queries"].items(), key=lambda kv: -kv[1]
+                )[:40]
+            }
+            compact["queries_truncated_to_slowest"] = 40
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line, flush=True)

@@ -109,17 +109,15 @@ def apply_events_batch(
     # the exchange, so map-side combine is lost; on high-duplication tails
     # the default combine-first shape shuffles ~dup× fewer rows and wins
     # (see FUSE_DUP_MAX). Unknown duplication → combine-first.
-    import os
-
-    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH") or None  # ops knob
+    fw_set, fw = _parse_fused_width_env(st.n_buckets)  # ops knob, one parse site
     fuse = mor_fast and not n_salts and (
-        bool(int(override)) if override is not None
+        fw is not None if fw_set
         else (
             dup_hint is not None and dup_hint < FUSE_DUP_MAX
             and (skew_hint is None or skew_hint < FUSE_SKEW_MAX)
         )
     )
-    pre_parts = _fused_width(table.spark, st.n_buckets) if fuse else None
+    pre_parts = (fw if fw_set else _fused_width(table.spark, st.n_buckets)) if fuse else None
     resolved = resolve_lww(
         valid, n_salts=n_salts, with_count=True, pre_partition=pre_parts
     )
@@ -132,6 +130,41 @@ def apply_events_batch(
     return _apply_two_action(table, st, resolved, canon, obs, app_id, epoch_id)
 
 
+def _parse_fused_width_env(n_buckets: int) -> tuple[bool, int | None]:
+    """Parse ``SPARK_GRAFT_FUSED_WIDTH`` ONCE, defensively (round-4 advice:
+    the knob used to be parsed at two sites, raised bare ValueError inside
+    the micro-batch on non-integers, and silently paid a double exchange on
+    widths that don't divide ``n_buckets``). Returns ``(set, width)``:
+    unset/blank → ``(False, None)`` (heuristic decides); ``0`` or negative →
+    ``(True, None)`` = fused shape disabled; a positive divisor of
+    ``n_buckets`` → ``(True, w)`` = fused shape forced at that width. A
+    non-integer or a non-divisor raises a clear config error rather than
+    corrupting the epoch plan."""
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_FUSED_WIDTH")
+    if raw is None or not raw.strip():
+        return False, None
+    try:
+        w = int(raw.strip())
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_FUSED_WIDTH={raw!r} is not an integer "
+            "(0 disables the fused epoch shape; a positive divisor of "
+            "n_buckets forces it)"
+        ) from None
+    if w <= 0:
+        return True, None
+    if n_buckets % w:
+        raise ValueError(
+            f"SPARK_GRAFT_FUSED_WIDTH={w} does not divide n_buckets="
+            f"{n_buckets}: the fused epoch requires the write width to "
+            "divide the bucket count (murmur3 partition identity); pick a "
+            "divisor, or 0 to disable the fused shape"
+        )
+    return True, w
+
+
 def _fused_width(spark, n_buckets: int) -> int | None:
     """Reduce/write width for the fused epoch: the largest divisor of
     ``n_buckets`` within 2× the cluster's cores — a write task carries
@@ -140,12 +173,9 @@ def _fused_width(spark, n_buckets: int) -> int | None:
     a real cluster (cores >> n_buckets) this returns n_buckets unchanged =
     full per-bucket parallelism. None (fall back to the two-exchange shape)
     when bucket count and core count are mutually prime enough that the
-    divisor would under-use the machine."""
-    import os
-
-    override = os.environ.get("SPARK_GRAFT_FUSED_WIDTH") or None
-    if override is not None:  # ops/tuning knob: 0 disables the fused path
-        return int(override) or None
+    divisor would under-use the machine. (The SPARK_GRAFT_FUSED_WIDTH
+    override is handled by the caller via _parse_fused_width_env — this
+    function is pure heuristic.)"""
     cores = spark.sparkContext.defaultParallelism
     bound = max(1, 2 * cores)
     if n_buckets <= bound:
@@ -315,7 +345,9 @@ def _write_metrics(
         )
         out = pd.concat([out, quar_row], ignore_index=True)
     out.insert(0, "epoch_id", epoch_id)
-    out["events_quarantined"] = [0] * (len(out) - 1) + [n_quar] if n_quar else 0
+    # the quarantine count rides the sentinel bucket=-1 row appended above
+    # (scalar 0 broadcasts to every row when nothing was quarantined)
+    out["events_quarantined"] = ([0] * (len(out) - 1) + [n_quar]) if n_quar else 0
     # Spark's parquet reader rejects TIMESTAMP(NANOS); pin to micros.
     out["watermark_pos"] = out["watermark_pos"].astype("datetime64[us]")
     table.fs.put_parquet(

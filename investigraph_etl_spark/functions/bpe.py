@@ -39,6 +39,36 @@ from pyspark.sql.functions import pandas_udf
 #: whitespace normalization.
 EOW = "▁"  # ▁ (same glyph family SentencePiece uses, reversed role)
 
+#: U+2581 genuinely occurs in real corpora (any SentencePiece-preprocessed
+#: text), so input words are ESCAPED before the marker is appended — a
+#: literal ▁ becomes ``\x00E`` and a literal ``\x00`` becomes ``\x00Z`` —
+#: which leaves the EOW glyph meaning exactly one thing in encoded pieces:
+#: a word boundary. decode()/detokenization replace boundaries with spaces
+#: FIRST, then unescape, restoring the original text exactly.
+ESC = "\x00"
+
+
+def _escape_word(w: str) -> str:
+    return w.replace(ESC, ESC + "Z").replace(EOW, ESC + "E")
+
+
+def _unescape(s: str) -> str:
+    # ▁-escape first: in well-formed escaped text every ESC heads a pair,
+    # so this cannot manufacture a false ESC+"Z"
+    return s.replace(ESC + "E", EOW).replace(ESC + "Z", ESC)
+
+
+def unescape_expr(col):
+    """Spark-side :func:`_unescape` (chunk detokenization in operators/
+    corpus.py) — apply AFTER replacing boundary EOWs with spaces."""
+    from pyspark.sql import functions as F
+
+    return F.replace(
+        F.replace(col, F.lit(ESC + "E"), F.lit(EOW)),
+        F.lit(ESC + "Z"),
+        F.lit(ESC),
+    )
+
 
 def train_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merge rules from an iterable of texts.
@@ -49,7 +79,7 @@ def train_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]
     words: Counter = Counter()
     for t in texts:
         for w in (t or "").split():
-            words[tuple(w) + (EOW,)] += 1
+            words[tuple(_escape_word(w)) + (EOW,)] += 1
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
@@ -107,7 +137,7 @@ class BpeTokenizer:
     def encode_word(self, word: str, _cache: dict | None = None) -> list[str]:
         if _cache is not None and word in _cache:
             return _cache[word]
-        sym = list(word) + [EOW]
+        sym = list(_escape_word(word)) + [EOW]
         ranks = self.ranks
         while len(sym) > 1:
             best_rank, best_i = None, None
@@ -131,8 +161,9 @@ class BpeTokenizer:
         return out
 
     def decode(self, pieces: list[str]) -> str:
-        """Exact inverse under whitespace normalization."""
-        return "".join(pieces).replace(EOW, " ").strip()
+        """Exact inverse under whitespace normalization (including input
+        that itself contains the ▁ glyph — see ESC)."""
+        return _unescape("".join(pieces).replace(EOW, " ")).strip()
 
 
 def pieces_udf(tok: BpeTokenizer):

@@ -50,6 +50,13 @@ class Commit:
     # key-membership skipping config (set on the create commit):
     # {"col": <key column>, "bits": <bitmap width>} — lake/stats.py keysets
     keyset: dict[str, Any] | None = None
+    # identity of the key→bucket hash the data layout was written under
+    # (set on the create and rebucket commits). The bucket function is part
+    # of the PERSISTED format: a writer that buckets with a different hash
+    # than the one the files were laid out with silently splits keys across
+    # two live rows (COW merge never reads the old bucket) and mis-prunes
+    # reads — so LakeTable.load refuses to open on mismatch.
+    bucket_fn: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -67,6 +74,7 @@ class Commit:
             "stats": self.stats,
             "stats_cols": self.stats_cols,
             "keyset": self.keyset,
+            "bucket_fn": self.bucket_fn,
         }
 
 
@@ -83,6 +91,7 @@ class TableState:
     file_stats: dict[str, Any] = field(default_factory=dict)  # zone maps
     stats_cols: list[str] = field(default_factory=list)
     keyset: dict[str, Any] | None = None  # key-membership skipping config
+    bucket_fn: str | None = None  # layout hash identity (None = pre-stamp table)
 
 
 class CommitLog:
@@ -144,6 +153,7 @@ class CommitLog:
         file_stats: dict[str, Any] = {}
         stats_cols: list[str] = []
         keyset: dict[str, Any] | None = None
+        bucket_fn: str | None = None
 
         start = 0
         cps = [c for c in self._list_checkpoints() if c <= versions[-1]]
@@ -158,6 +168,7 @@ class CommitLog:
             file_stats = cp.get("file_stats", {})
             stats_cols = cp.get("stats_cols", [])
             keyset = cp.get("keyset")
+            bucket_fn = cp.get("bucket_fn")
             start = cp["version"]
 
         for v in versions:
@@ -173,6 +184,8 @@ class CommitLog:
                 stats_cols = c["stats_cols"]
             if c.get("keyset") is not None:
                 keyset = c["keyset"]
+            if c.get("bucket_fn") is not None:
+                bucket_fn = c["bucket_fn"]
             if c.get("schema"):
                 schema = c["schema"]
             if c.get("n_buckets"):
@@ -197,6 +210,7 @@ class CommitLog:
             file_stats=file_stats,
             stats_cols=stats_cols,
             keyset=keyset,
+            bucket_fn=bucket_fn,
         )
 
     def latest_version(self) -> int:
@@ -289,5 +303,6 @@ class CommitLog:
             "file_stats": state.file_stats,
             "stats_cols": state.stats_cols,
             "keyset": state.keyset,
+            "bucket_fn": state.bucket_fn,
         }
         self.fs.put_json(self._checkpoint_path(version), cp)

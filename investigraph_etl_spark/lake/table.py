@@ -77,6 +77,14 @@ HIDDEN_COLS = ("_ts", "_seq", "_deleted")
 _BUCKET_COL = "bucket"  # physical partition dir column; reserved name
 _COMMIT_COL = "commit"  # physical partition dir column naming the write
 
+#: Identity of the key→bucket hash this code lays data out with. Stamped
+#: into the create()/rebucket() commit and validated at load(): the bucket
+#: function is part of the persisted format — writing murmur3 buckets into
+#: an xxhash64-era layout would leave two live rows per key (COW merge only
+#: reads the buckets IT computes as touched) and mis-prune reads. Bump the
+#: suffix if the expression in ``_bucket_expr`` ever changes.
+BUCKET_FN = "murmur3_pmod_v1"
+
 
 def _bucket_expr(n_buckets: int):
     """Bucket of a row = ``pmod(murmur3(conv_id), n_buckets)``.
@@ -116,6 +124,14 @@ MAX_COMMIT_ATTEMPTS = 12
 DEFAULT_ORPHAN_GRACE_S = 300.0
 
 
+class BucketFnMismatch(RuntimeError):
+    """The table's persisted bucket layout was written by a different
+    key→bucket hash than this code uses (or predates stamping, so the
+    layout hash is unknown). Opening it for writes would corrupt LWW
+    semantics; ``LakeTable.load(..., check_bucket_fn=False)`` opens it
+    anyway so ``rebucket()`` can migrate the layout."""
+
+
 class CommitConflict(RuntimeError):
     """A commit lost the optimistic-concurrency race ``MAX_COMMIT_ATTEMPTS``
     times in a row. The attempt's data files have been discarded; the table
@@ -134,6 +150,9 @@ class _StaleInputs(Exception):
 
 
 class LakeTable:
+    #: table roots whose bucket-layout stamp this process already verified
+    _bucket_fn_ok: set[str] = set()
+
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
@@ -218,15 +237,35 @@ class LakeTable:
                     if keyset_col is not None
                     else None
                 ),
+                bucket_fn=BUCKET_FN,
             )
         )
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+    def load(
+        cls, spark: SparkSession, root: str, check_bucket_fn: bool = True
+    ) -> "LakeTable":
         t = cls(spark, root)
         if not t.log.exists():
             raise FileNotFoundError(f"no lake table at {root}")
+        if check_bucket_fn and root not in cls._bucket_fn_ok:
+            recorded = t._state().bucket_fn
+            if recorded != BUCKET_FN:
+                layout = recorded or "UNSTAMPED (pre-stamping; possibly xxhash64-era)"
+                raise BucketFnMismatch(
+                    f"table at {root} has bucket layout {layout}, this code "
+                    f"writes {BUCKET_FN}. Writing would split keys across "
+                    "buckets. Migrate with LakeTable.load(spark, root, "
+                    "check_bucket_fn=False).rebucket(n_buckets) — rebucket "
+                    "recomputes every row's bucket with the current function "
+                    "and stamps the layout."
+                )
+            # once stamped-and-matching, a layout can only change via
+            # rebucket() in THIS code version (which re-stamps BUCKET_FN),
+            # so cache the verdict — per-trigger load() in the ingest hot
+            # path must not pay a control-plane state read per epoch
+            cls._bucket_fn_ok.add(root)
         return t
 
     # ------------------------------------------------------------------ state
@@ -1138,6 +1177,9 @@ class LakeTable:
             # classifier; "rebucket" records the layout change for history
             metrics={"compaction": True, "rebucket": n_buckets},
             stats=self._collect_stats(added, st.stats_cols, st.keyset),
+            # rebucket recomputes every bucket with the CURRENT function, so
+            # it is also the migration path for unstamped/foreign layouts
+            bucket_fn=BUCKET_FN,
         )
 
         def revalidate(new_st) -> Commit:

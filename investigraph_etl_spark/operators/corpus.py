@@ -61,10 +61,12 @@ def chunk_tokens(
     whitespace face (default) stays the DuckDB oracle twin.
     """
     if tokenizer is not None:
-        from investigraph_etl_spark.functions.bpe import EOW, pieces_udf
+        from investigraph_etl_spark.functions.bpe import EOW, pieces_udf, unescape_expr
 
         toks = pieces_udf(tokenizer)(F.col(text_col))
-        detok = lambda c: F.trim(F.regexp_replace(F.concat_ws("", c), EOW, " "))  # noqa: E731
+        detok = lambda c: F.trim(  # noqa: E731
+            unescape_expr(F.regexp_replace(F.concat_ws("", c), EOW, " "))
+        )
     else:
         toks = tokens(F.col(text_col))
         detok = lambda c: F.concat_ws(" ", c)  # noqa: E731

@@ -24,14 +24,22 @@ def fanout(df: DataFrame) -> DataFrame:
     ~100 ms of driver work; the file count needs only the analyzed plan's
     FileIndex): a scan of fewer files than cores cannot have more partitions
     than files at this input size, so the guard fires exactly in the
-    single-file degenerate case it exists for. Non-file sources (empty
-    inputFiles) repartition too — the safe default for tiny local frames.
+    single-file degenerate case it exists for. Fewer files than cores does
+    NOT imply fewer partitions, though — a single large file of a splittable
+    format scans as many partitions, and non-file frames report zero files —
+    so a low file count only *triggers the confirming probe*: the actual
+    partition count of the analyzed plan (``df.rdd.getNumPartitions()``,
+    ~100 ms of driver work — paid only on the rare low-file-count branch,
+    never on the already-wide fast path). Repartition only when the plan is
+    genuinely narrower than the machine; never shrink an already-wider one.
     """
     spark = df.sparkSession
     master = spark.conf.get("spark.master", "")
     if not master.startswith("local"):
         return df
     target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
+    if len(df.inputFiles()) >= target:
+        return df
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -408,11 +408,37 @@ class FsspecStorage(Storage):
         return int(self.fs.size(path))
 
     def mtime(self, path: str) -> float:
-        m = self.fs.modified(path)
-        if m.tzinfo is None:  # fsspec local returns naive UTC-ish timestamps
-            import calendar
+        # Prefer unambiguous epoch fields from fs.info() (LocalFileSystem
+        # 'mtime' is a float epoch; s3fs 'LastModified' is a tz-aware
+        # datetime) — fs.modified() on some backends returns a NAIVE
+        # datetime whose clock (UTC vs host-local) is implementation-
+        # defined, and guessing wrong ages files so vacuum's orphan grace
+        # could reclaim an in-flight writer's young files.
+        import datetime as _dt
 
-            return calendar.timegm(m.timetuple()) + m.microsecond / 1e6
+        try:
+            info = self.fs.info(path)
+        except Exception:  # pragma: no cover - backend quirk; fall through
+            info = {}
+        for key in ("mtime", "modification_time", "last_modified", "LastModified"):
+            v = info.get(key) if isinstance(info, dict) else None
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return float(v)
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                return v.timestamp()
+        m = self.fs.modified(path)
+        if m.tzinfo is None:
+            # Ambiguous naive datetime: take the YOUNGER (larger-epoch) of
+            # the UTC and host-local interpretations, so grace windows err
+            # toward sparing files — vacuum may retain an orphan one tz
+            # offset longer, but can never reclaim a live writer's file
+            # early because of a clock-convention guess.
+            import calendar
+            import time as _time
+
+            as_utc = calendar.timegm(m.timetuple()) + m.microsecond / 1e6
+            as_local = _time.mktime(m.timetuple()) + m.microsecond / 1e6
+            return max(as_utc, as_local)
         return m.timestamp()
 
     def get_range(self, path: str, start: int, length: int) -> bytes:

@@ -298,3 +298,29 @@ def test_hot_bucket_tail_stays_on_combine_shape(spark, tmp_path):
     assert dup == 1.0 and skew >= 0.5
     # dup says fuse; the skew gate must override
     assert [r["plan_shape"] for r in results] == ["combine", "combine"]
+
+
+def test_fused_width_env_parsed_defensively(monkeypatch):
+    """ADVICE r4: SPARK_GRAFT_FUSED_WIDTH is parsed at ONE site; junk values
+    raise a clear config error instead of a bare ValueError mid-batch, and
+    widths that don't divide n_buckets are rejected up front instead of
+    silently paying a double exchange."""
+    from investigraph_etl_spark.cdc.apply import _parse_fused_width_env
+
+    monkeypatch.delenv("SPARK_GRAFT_FUSED_WIDTH", raising=False)
+    assert _parse_fused_width_env(32) == (False, None)
+    monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "  ")
+    assert _parse_fused_width_env(32) == (False, None)
+    monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "0")
+    assert _parse_fused_width_env(32) == (True, None)   # explicit disable
+    monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "8")
+    assert _parse_fused_width_env(32) == (True, 8)
+    monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "4x")
+    with pytest.raises(ValueError, match="not an integer"):
+        _parse_fused_width_env(32)
+    monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "true")
+    with pytest.raises(ValueError, match="not an integer"):
+        _parse_fused_width_env(32)
+    monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "5")
+    with pytest.raises(ValueError, match="does not divide"):
+        _parse_fused_width_env(32)

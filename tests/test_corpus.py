@@ -222,3 +222,35 @@ def test_pack_sequences_with_bpe_counts(spark):
         for r in rs:
             assert r.bin == run // 24
             run += r.n_tokens
+
+
+def test_bpe_roundtrip_exact_with_literal_eow_glyph(spark):
+    """ADVICE r4: U+2581 occurs in real corpora (SentencePiece-preprocessed
+    text). Input containing the marker glyph (or the escape lead \\x00) must
+    still round-trip exactly — boundaries and literal glyphs are kept
+    distinguishable by escaping, in both the Python and Spark detok faces."""
+    from investigraph_etl_spark.functions.bpe import BpeTokenizer
+    from investigraph_etl_spark.operators.corpus import chunk_tokens
+
+    hostile = [
+        "plain words only",
+        "sp▁style ▁tokens ▁every▁where",
+        "nul\x00inside and▁mixed\x00▁runs",
+        "▁",                      # a word that IS the marker
+        "\x00E \x00Z",            # words that look like the escapes
+    ]
+    tok = BpeTokenizer.train(hostile * 3, n_merges=50)
+    for t in hostile:
+        normalized = " ".join(t.split())
+        assert tok.decode(tok.encode(t)) == normalized, t
+
+    # Spark-side detok (chunk_tokens with tokenizer=) matches the Python face
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(hostile)], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r["chunk_text"]
+           for r in chunk_tokens(df, k=1000, tokenizer=tok).collect()}
+    for i, t in enumerate(hostile):
+        normalized = " ".join(t.split())
+        if normalized:
+            assert out[f"d{i}"] == normalized, t

@@ -261,3 +261,47 @@ def test_vacuum_default_grace_spares_young_orphans(spark, tmp_table_root):
     assert t.vacuum() == 0                    # default: young files survive
     assert t.vacuum(orphan_grace_s=0.0) > 0   # explicit opt-in reclaims
     assert t.read().count() > 0
+
+
+def test_bucket_fn_stamp_guards_foreign_layouts(spark, tmp_table_root):
+    """ADVICE r4 (medium): the bucket hash is part of the persisted format.
+    A table laid out by a different (or unknown/pre-stamp) bucket function
+    must refuse to open for normal use — writing murmur3 buckets into an
+    xxhash64-era layout leaves two live rows per key — and rebucket() is
+    the migration path that recomputes the layout and re-stamps it."""
+    import json
+
+    from investigraph_etl_spark.lake.table import BUCKET_FN, BucketFnMismatch
+
+    t = LakeTable.create(spark, tmp_table_root, TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = generate_events(GeneratorConfig(n_events=200, seed=91))
+    t.merge(_resolved(spark, ev), app_id="t", epoch_id=0)
+    assert t._state().bucket_fn == BUCKET_FN
+    LakeTable._bucket_fn_ok.discard(tmp_table_root)
+    LakeTable.load(spark, tmp_table_root)  # matching stamp opens fine
+
+    # simulate a legacy / foreign layout: rewrite the create commit's stamp
+    create_path = os.path.join(tmp_table_root, "_log",
+                               f"{1:020d}.json")
+    c = json.load(open(create_path))
+    c["bucket_fn"] = "xxhash64_pmod_v0"
+    json.dump(c, open(create_path, "w"))
+    LakeTable._bucket_fn_ok.discard(tmp_table_root)
+    with pytest.raises(BucketFnMismatch):
+        LakeTable.load(spark, tmp_table_root)
+    # ... and an UNSTAMPED (pre-stamping) table is treated as unknown too
+    c["bucket_fn"] = None
+    json.dump(c, open(create_path, "w"))
+    LakeTable._bucket_fn_ok.discard(tmp_table_root)
+    with pytest.raises(BucketFnMismatch):
+        LakeTable.load(spark, tmp_table_root)
+
+    # migration: open unchecked, rebucket (recomputes every bucket with the
+    # current function and stamps it), then normal load works again
+    tm = LakeTable.load(spark, tmp_table_root, check_bucket_fn=False)
+    n_before = tm.read().count()
+    assert tm.rebucket(4)["rebucketed"]
+    LakeTable._bucket_fn_ok.discard(tmp_table_root)
+    t2 = LakeTable.load(spark, tmp_table_root)
+    assert t2._state().bucket_fn == BUCKET_FN
+    assert t2.read().count() == n_before

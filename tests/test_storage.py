@@ -356,3 +356,42 @@ def test_full_lake_through_fsspec_adapter(spark, tmp_path, monkeypatch):
     assert meta["version"] == table.version
     # the control plane really ran through the adapter
     assert {"open", "pipe_file", "find", "cat_file"} <= set(fake.calls)
+
+
+def test_fsspec_mtime_prefers_info_epoch_and_never_ages_naive(tmp_path):
+    """ADVICE r4: naive datetimes from fs.modified() have implementation-
+    defined clocks; a wrong UTC guess ages files so vacuum could reclaim an
+    in-flight writer's young output. mtime() must (a) prefer unambiguous
+    epoch fields from fs.info(), and (b) for naive datetimes never return
+    an epoch OLDER than both clock interpretations."""
+    import calendar
+    import datetime as dt
+    import time as _time
+
+    from investigraph_etl_spark.storage import FsspecStorage
+
+    class InfoEpochFS(FakeFsspecFS):
+        def info(self, path):
+            return {"mtime": 1234.5, "type": "file", "size": 1}
+
+    st = FsspecStorage(InfoEpochFS())
+    p = str(tmp_path / "a.txt")
+    open(p, "w").write("x")
+    assert st.mtime(p) == 1234.5  # epoch field wins over modified()
+
+    class NaiveLocalFS(FakeFsspecFS):
+        """Backend that reports naive LOCAL time (the hazardous kind)."""
+        def info(self, path):
+            return {"type": "file"}  # no usable epoch field
+
+        def modified(self, path):
+            return dt.datetime.fromtimestamp(os.path.getmtime(self._p(path)))
+
+    st2 = FsspecStorage(NaiveLocalFS())
+    true_epoch = os.path.getmtime(p)
+    got = st2.mtime(p)
+    naive = dt.datetime.fromtimestamp(true_epoch)
+    both = (calendar.timegm(naive.timetuple()) + naive.microsecond / 1e6,
+            _time.mktime(naive.timetuple()) + naive.microsecond / 1e6)
+    assert got == max(both)       # younger interpretation chosen
+    assert got >= true_epoch - 1  # never ages the file below truth
