@@ -62,24 +62,9 @@ def _n_events() -> int:
     return max(20_000, int(40_000_000 * _sf()))
 
 
-BENCH_CONF = {
-    # zstd for data AT REST (parquet): the 100 TB production choice.
-    "spark.sql.parquet.compression.codec": "zstd",
-    # lz4 for TRANSIENT bytes (shuffle/broadcast): Spark's own default and
-    # the standard production split — shuffle blocks live minutes, so cheap
-    # codec beats ratio. Measured on the 12M-event ingest: zstd shuffle cost
-    # ~35% of end-to-end throughput at every parallelism level
-    # (local[1] 153k -> 231k ev/s, local[4] 380k -> 599k ev/s).
-    "spark.io.compression.codec": "lz4",
-    # enough shuffle partitions that every core has work even after AQE
-    # coalescing (advisory 16m keeps partitions fine-grained at bench scale).
-    "spark.sql.shuffle.partitions": "128",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-    # shuffle/spill on tmpfs: a single box's one root disk is not a proxy for
-    # a cluster's aggregate IO; the bench measures engine CPU + memory paths.
-    "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-}
+# ONE definition of the bench session preset (session.py) — re-exported here
+# because scripts/profile_ingest.py reads bench.BENCH_CONF.
+from investigraph_etl_spark.session import BENCH_CONF  # noqa: E402
 
 #: bench work area (landing dir, table, checkpoint) — tmpfs by default, same
 #: rationale as spark.local.dir above.
@@ -201,7 +186,7 @@ def run_skew(spark, n_events: int | None = None) -> dict:
     # distinct turns: the hot bucket is large in ROWS, not deduped away
     hot.loc[mask, "turn_idx"] = np.arange(mask.sum()).astype("int32")
 
-    def one(tail, fanout):
+    def one(tail, fanout, auto_salt=True):
         work = tempfile.mkdtemp(prefix="bench-skew-", dir=BENCH_DIR)
         landing = os.path.join(work, "landing")
         os.makedirs(landing)
@@ -213,18 +198,33 @@ def run_skew(spark, n_events: int | None = None) -> dict:
         pipe = IngestPipeline(
             spark, events_dir=landing, table_root=os.path.join(work, "table"),
             checkpoint_dir=os.path.join(work, "ckpt"),
-            max_files_per_trigger=16, write_fanout=fanout,
+            max_files_per_trigger=16, write_fanout=fanout, auto_salt=auto_salt,
         )
         t0 = time.time()
         res = pipe.run_available_now()
         dt = time.time() - t0
         share = max(r.get("max_bucket_share", 0.0) for r in res)
+        salted = sum(1 for r in res if r.get("n_salts_used"))
         shutil.rmtree(work, ignore_errors=True)
-        return round(len(tail) / dt, 1), round(share, 3)
+        return round(len(tail) / dt, 1), round(share, 3), salted
 
-    uni_eps, uni_share = one(ev, 1)
-    hot_eps, hot_share = one(hot, 1)
-    hot4_eps, _ = one(hot, 4)
+    # single-KEY flood (round-4 verdict #4): ~50% of events re-write ONE
+    # (conv, turn). Epoch 1's lineage carries max_key_flood; epochs 2+ then
+    # auto-select the salted two-phase reduce. The control run suppresses
+    # the hint to show the payoff. 4 epochs so 3 of 4 get the adapted shape.
+    nf = len(ev)
+    flood = generate_events(
+        GeneratorConfig(n_events=nf, n_convs=max(100, nf // 50), seed=7, n_epochs=4)
+    )
+    fmask = np.arange(len(flood)) % 2 == 0
+    flood.loc[fmask, "conv_id"] = "flood-conv"
+    flood.loc[fmask, "turn_idx"] = np.int32(0)
+
+    uni_eps, uni_share, _ = one(ev, 1)
+    hot_eps, hot_share, _ = one(hot, 1)
+    hot4_eps, _, _ = one(hot, 4)
+    fl_off_eps, _, fl_off_salted = one(flood, 1, auto_salt=False)
+    fl_auto_eps, _, fl_auto_salted = one(flood, 1, auto_salt=True)
     return {
         "events": len(ev),
         "uniform_ev_s": uni_eps,
@@ -234,6 +234,10 @@ def run_skew(spark, n_events: int | None = None) -> dict:
         "hot_max_bucket_share": hot_share,
         "skew_penalty": round(uni_eps / hot_eps, 3),
         "skew_penalty_fanout4": round(uni_eps / hot4_eps, 3),
+        "keyflood_nosalt_ev_s": fl_off_eps,
+        "keyflood_autosalt_ev_s": fl_auto_eps,
+        "keyflood_autosalt_gain": round(fl_auto_eps / fl_off_eps, 3),
+        "keyflood_salted_epochs": [fl_off_salted, fl_auto_salted],
     }
 
 
@@ -405,13 +409,42 @@ def _calibration(n: int = 2, n4: int = 8) -> dict:
     return out
 
 
-def _scaling_child(cpus: int, job: str = "ingest") -> None:
-    """Subprocess body: one warmed-up run of the given job at local[cpus]."""
+def _master_cores(master: str) -> int:
+    """Total executor cores a master string provides."""
+    if master.startswith("local-cluster["):
+        n, c, _mem = master[len("local-cluster["):].rstrip("]").split(",")
+        return int(n) * int(c)
+    if master.startswith("local["):
+        return int(master[len("local["):].rstrip("]"))
+    raise ValueError(f"unsupported scaling master: {master!r}")
+
+
+def _multijvm_conf(master: str) -> dict[str, str]:
+    """Extra conf for local-cluster children: real separate executor JVMs
+    need the package on the executors' python path and an executor heap
+    sized inside the worker's capacity (master string carries worker MB)."""
+    mem_mb = int(master[len("local-cluster["):].rstrip("]").split(",")[2])
+    return {
+        "spark.executor.memory": f"{max(1024, mem_mb - 1024)}m",
+        "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+    }
+
+
+def _scaling_child(master: str, job: str = "ingest") -> None:
+    """Subprocess body: one warmed-up run of the given job at the given
+    master (``local[N]`` — one JVM, N threads — or ``local-cluster[n,c,mb]``
+    — n separate executor JVMs of c cores each; the multi-JVM pair is what
+    separates single-heap GC/allocator effects from the shared memory bus)."""
     from investigraph_etl_spark.session import get_spark
 
-    spark = get_spark(
-        app_name=f"bench-scale-{cpus}", master=f"local[{cpus}]", conf=BENCH_CONF
-    )
+    if master.isdigit():  # backcompat: a bare core count
+        master = f"local[{master}]"
+    cpus = _master_cores(master)
+    conf = dict(BENCH_CONF)
+    if master.startswith("local-cluster"):
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        conf.update(_multijvm_conf(master))
+    spark = get_spark(app_name=f"bench-scale-{cpus}", master=master, conf=conf)
     if job == "ingest":
         res = run_ingest(spark, _n_events(), warmup=True)
         res["metric"] = res["events_per_sec"]
@@ -420,14 +453,17 @@ def _scaling_child(cpus: int, job: str = "ingest") -> None:
         res = run_cosine_topk(spark)
         res["metric"] = res["cosines_per_sec"]
     spark.stop()
-    print("SCALE_RESULT " + json.dumps({"cpus": cpus, "job": job, **res}))
+    print("SCALE_RESULT " + json.dumps(
+        {"cpus": cpus, "master": master, "job": job, **res}
+    ))
 
 
-def _run_child(cpus: int, job: str = "ingest") -> dict:
+def _run_child(master: str | int, job: str = "ingest") -> dict:
     import subprocess
 
     p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus), job],
+        [sys.executable, os.path.abspath(__file__), "--scaling-child",
+         str(master), job],
         capture_output=True,
         text=True,
         env={**os.environ},
@@ -435,7 +471,7 @@ def _run_child(cpus: int, job: str = "ingest") -> dict:
     line = [l for l in p.stdout.splitlines() if l.startswith("SCALE_RESULT ")]
     if not line:
         sys.stderr.write(p.stdout + p.stderr)
-        raise RuntimeError(f"scaling child local[{cpus}] failed")
+        raise RuntimeError(f"scaling child {master} failed")
     return json.loads(line[0].removeprefix("SCALE_RESULT "))
 
 
@@ -460,10 +496,20 @@ def scaling() -> None:
     # cores (the shared bus saturates near 8 threads — calibration in each
     # run's report), i.e. the pair that actually emulates adding executors,
     # each of which brings its own memory bus. 2→8 is reported alongside for
-    # continuity with round 1.
-    N, N4 = (
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4").split(",")
-    )
+    # continuity with round 1. SPARK_GRAFT_SCALE_MASTERS overrides the pair
+    # with explicit master strings — e.g.
+    # "local-cluster[1,4,8192];local-cluster[4,4,8192]" runs the SAME job on
+    # 1 vs 4 REAL separate executor JVMs (multi-JVM pair: removes the
+    # single-heap GC/allocator confound from the scaling measurement).
+    masters_env = os.environ.get("SPARK_GRAFT_SCALE_MASTERS")
+    if masters_env:
+        m_lo, m_hi = (m.strip() for m in masters_env.split(";"))
+    else:
+        lo, hi = (
+            int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4").split(",")
+        )
+        m_lo, m_hi = f"local[{lo}]", f"local[{hi}]"
+    N, N4 = _master_cores(m_lo), _master_cores(m_hi)
 
     # One landing dir, generated once; every child at every level ingests the
     # SAME bytes. Scaling epochs default to 2 large micro-batches: the
@@ -494,13 +540,13 @@ def scaling() -> None:
     del ev
     os.environ["SPARK_GRAFT_PREGEN_LANDING"] = pregen
 
-    best: dict[tuple[str, int], dict] = {}
+    best: dict[tuple[str, str], dict] = {}
     try:
         for _ in range(ROUNDS):
             for job in ("ingest", "cosine"):
-                for cpus in (N, N4):
-                    res = _run_child(cpus, job)
-                    key = (job, cpus)
+                for m in (m_lo, m_hi):
+                    res = _run_child(m, job)
+                    key = (job, m)
                     if key not in best or res["metric"] > best[key]["metric"]:
                         best[key] = res
     finally:
@@ -509,35 +555,35 @@ def scaling() -> None:
     cal = _calibration(N, N4)
     pairs = []
     for job in ("ingest", "cosine"):
-        ratio = best[(job, N4)]["metric"] / best[(job, N)]["metric"]
+        ratio = best[(job, m_hi)]["metric"] / best[(job, m_lo)]["metric"]
         pairs.append(
             {
                 "job": job,
-                "pair": f"local[{N}] -> local[{N4}]",
+                "pair": f"{m_lo} -> {m_hi}",
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / (N4 / N), 3),
             }
         )
     report = {
         "jobs": {
-            f"{job}@local[{c}]": best[(job, c)]["metric"]
+            f"{job}@{m}": best[(job, m)]["metric"]
             for job in ("ingest", "cosine")
-            for c in (N, N4)
+            for m in (m_lo, m_hi)
         },
         "pairs": pairs,
         "calibration": cal,
-        "events": best[("ingest", N)]["events"],
+        "events": best[("ingest", m_lo)]["events"],
         "sf": _sf(),
     }
     print(json.dumps(report))
-    ing_n, ing_4n = best[("ingest", N)], best[("ingest", N4)]
-    cos_n, cos_4n = best[("cosine", N)], best[("cosine", N4)]
+    ing_n, ing_4n = best[("ingest", m_lo)], best[("ingest", m_hi)]
+    cos_n, cos_4n = best[("cosine", m_lo)], best[("cosine", m_hi)]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')} UTC)\n\n"
-            f"Same job, N={N} vs 4N={N4} cores (driver-sanctioned pair), "
+            f"Same job, N={N} vs 4N={N4} cores ({m_lo} vs {m_hi}), "
             f"best of {ROUNDS} interleaved rounds, zstd parquet + lz4 shuffle, tmpfs, JIT-warmed.\n\n"
-            f"| job | local[{N}] | local[{N4}] | speedup | efficiency |\n"
+            f"| job | {m_lo} | {m_hi} | speedup | efficiency |\n"
             f"|---|---|---|---|---|\n"
             f"| CDC ingest ({ing_n['events']:,} ev, {ing_n['epochs']} epochs) "
             f"| {ing_n['metric']:,.0f} ev/s | {ing_4n['metric']:,.0f} ev/s "
@@ -559,7 +605,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        _scaling_child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "ingest")
+        _scaling_child(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "ingest")
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         from investigraph_etl_spark.session import get_spark
 

@@ -71,6 +71,23 @@ FUSE_DUP_MAX = 2.0
 #: (LakeTable.write_fanout).
 FUSE_SKEW_MAX = 0.25
 
+#: A single red-hot KEY (one (conv, turn) re-written over and over inside
+#: one epoch) floods one reducer even through map-side combine — partial
+#: aggregation bounds shuffle rows, not the per-map-task fold work of the
+#: flooded key's updates arriving in one scan partition's worth of files.
+#: The previous epoch's lineage gives the hottest-key share for free
+#: (max(_cnt) / events); at or above this share the next epoch auto-selects
+#: the salted two-phase reduce (resolve_lww n_salts) instead of waiting for
+#: an operator to set the manual knob.
+SALT_FLOOD_MIN = 0.2
+
+
+def _auto_salt_width(spark) -> int:
+    """Salt fan-out for an auto-selected salted reduce: enough ways to
+    spread one key across the machine's cores, capped — phase 2 re-merges
+    ≤ n_salts survivors per key, so wider salting only adds phase-2 rows."""
+    return max(2, min(16, spark.sparkContext.defaultParallelism))
+
 
 def apply_events_batch(
     table: LakeTable,
@@ -80,6 +97,7 @@ def apply_events_batch(
     n_salts: int | None = None,
     dup_hint: float | None = None,
     skew_hint: float | None = None,
+    salt_hint: float | None = None,
 ) -> dict[str, Any]:
     """Apply one raw event micro-batch to the table, exactly once.
 
@@ -101,6 +119,13 @@ def apply_events_batch(
     valid = canon.filter(F.col("_valid")).drop("_valid")
 
     mor_fast = st.mode == "mor" and st.n_buckets <= OBS_LINEAGE_MAX_BUCKETS
+    # Auto-salting: when the operator hasn't set n_salts and the previous
+    # epoch's lineage shows one KEY owning >= SALT_FLOOD_MIN of its events,
+    # spread that key with the salted two-phase reduce. Manual n_salts
+    # always wins; the hint only ever turns salting ON (a flood that
+    # subsides turns it back off next epoch via the same feedback).
+    if not n_salts and salt_hint is not None and salt_hint >= SALT_FLOOD_MIN:
+        n_salts = _auto_salt_width(table.spark)
     # Fused one-exchange epoch (MOR, unsalted, low-duplication): pre-partition
     # the reduce by conv_id into a width dividing n_buckets, so the SAME
     # exchange serves the LWW aggregation AND routes every bucket wholly into
@@ -123,11 +148,17 @@ def apply_events_batch(
     )
 
     if mor_fast:
-        return _apply_mor_one_action(
+        result = _apply_mor_one_action(
             table, st, resolved, canon, obs, app_id, epoch_id,
             aligned_parts=pre_parts,
         )
-    return _apply_two_action(table, st, resolved, canon, obs, app_id, epoch_id)
+    else:
+        result = _apply_two_action(
+            table, st, resolved, canon, obs, app_id, epoch_id
+        )
+    if not result.get("skipped"):
+        result["n_salts_used"] = int(n_salts or 0)
+    return result
 
 
 def _parse_fused_width_env(n_buckets: int) -> tuple[bool, int | None]:
@@ -195,6 +226,8 @@ def _lineage_agg(n_buckets: int):
         parts.append(f"sum(CASE WHEN bucket = {b} THEN _cnt END) AS ea_{b}")
         parts.append(f"count(CASE WHEN bucket = {b} THEN 1 END) AS nk_{b}")
         parts.append(f"max(CASE WHEN bucket = {b} THEN ts END) AS wm_{b}")
+    # hottest single KEY's fold count — feeds the auto-salt decision
+    parts.append("max(_cnt) AS mc")
     return F.expr(f"struct({', '.join(parts)})").alias("lin")
 
 
@@ -235,6 +268,9 @@ def _apply_mor_one_action(
             "events_applied": n_events,
             "events_quarantined": n_quar,
             "max_bucket_share": share,
+            "max_key_flood": (
+                float(int(vals["mc"] or 0)) / n_events if n_events else 0.0
+            ),
         })
         return {
             "events_applied": n_events,
@@ -269,9 +305,12 @@ def _apply_two_action(
                 F.sum("_cnt").alias("events_applied"),
                 (F.sum("_cnt") - F.count(F.lit(1))).alias("conflicts_resolved"),
                 F.max("ts").alias("watermark_pos"),
+                F.max("_cnt").alias("_max_cnt"),
             )
             .toPandas()
         )
+        max_cnt = int(per_bucket["_max_cnt"].max()) if len(per_bucket) else 0
+        per_bucket = per_bucket.drop(columns=["_max_cnt"])
         n_events = int(per_bucket["events_applied"].sum()) if len(per_bucket) else 0
         touched = [int(b) for b in per_bucket["bucket"]]
         n_quar = int((obs.get or {}).get("n_quar") or 0)
@@ -303,6 +342,7 @@ def _apply_two_action(
             "events_applied": n_events,
             "events_quarantined": n_quar,
             "max_bucket_share": share,
+            "max_key_flood": max_cnt / n_events if n_events else 0.0,
             "plan_shape": "two_action",
         })
         return result

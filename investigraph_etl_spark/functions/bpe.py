@@ -107,6 +107,87 @@ def train_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]
     return merges
 
 
+def train_bpe_df(
+    df, text_col: str = "text", n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """DataFrame-native BPE training — the 100 TB face of :func:`train_bpe`
+    (round-4 verdict #7: a driver-side 2,000-doc sample is the right
+    model-is-KBs default, but a production tokenizer trains on the corpus).
+
+    Same structure as ``operators.similarity.train_centroids``: an iterative
+    loop whose per-iteration work is fully distributed and whose collect is
+    bounded — here to ONE row (the winning pair). The corpus collapses ONCE
+    into the distinct-word count table (classic BPE trick: merge statistics
+    depend only on word *types* weighted by frequency, so 100 TB of text
+    becomes a vocabulary-sized table); each of the ``n_merges`` iterations
+    is then one job over that cached table:
+
+    1. re-segment every word with the merges learned SO FAR — Arrow-batched
+       ``encode_word`` with the merges broadcast in the UDF closure (KBs).
+       Stateless per iteration: no lineage growth, no checkpointing. This
+       leans on BPE's defining property (greedy lowest-rank encoding
+       reproduces the training segmentation — parity-tested against
+       train_bpe's explicit sequential application in test_corpus.py);
+    2. ``explode`` adjacent symbol pairs → ``groupBy(a, b).sum(cnt)`` —
+       the distributed pair count (partial aggregation map-side);
+    3. take the (count DESC, a ASC, b ASC) winner — ``limit(1)`` collect.
+       String order parity: Spark compares UTF-8 bytes, Python compares
+       code points — identical orders (UTF-8 preserves code-point order).
+
+    Iteration cost: ``n_merges`` jobs of O(|vocab| × avg word length) work
+    each; at 10^10 documents the vocab table is millions of rows, so each
+    job is seconds on a cluster. For n_merges in the tens of thousands,
+    batch the loop (select top-M non-interacting pairs per job) — not
+    implemented; documented as the known scale dial.
+    """
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            pairs = pair_counts_udf(BpeTokenizer(tuple(merges)))
+            top = (
+                words.select(F.explode(pairs(F.col("w"))).alias("p"), "cnt")
+                .groupBy(F.col("p")[0].alias("a"), F.col("p")[1].alias("b"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            merges.append((top[0]["a"], top[0]["b"]))
+    finally:
+        words.unpersist()
+    return merges
+
+
+def pair_counts_udf(tok: "BpeTokenizer"):
+    """Arrow-batched ``word -> array<array<string>>`` of adjacent symbol
+    pairs under ``tok``'s current merges (train_bpe_df's step-1 kernel)."""
+    merges = tok.merges
+
+    @pandas_udf("array<array<string>>")
+    def f(s: pd.Series) -> pd.Series:
+        t = BpeTokenizer(merges)
+        cache: dict = {}
+
+        def pairs(word):
+            sym = t.encode_word(word, cache)
+            return [[sym[i], sym[i + 1]] for i in range(len(sym) - 1)]
+
+        return s.map(pairs)
+
+    return f
+
+
 @dataclass(frozen=True)
 class BpeTokenizer:
     """A trained merges table; hashable/serializable closure payload."""

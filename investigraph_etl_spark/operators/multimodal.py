@@ -513,10 +513,165 @@ FROM {table}
 """
 
 
+# --------------------------------------------------------------- video: y4m
+# Round-4 verdict #5: images got a real format (BMP), audio got one (WAV);
+# video's numpy-only analog is YUV4MPEG2 ("y4m" — mjpegtools/ffmpeg's raw
+# interchange container): one ASCII stream header carrying W/H/F(ps)/C(olor
+# space) parameters, then per frame a "FRAME\n" marker + raw planar pixel
+# data. C444 (no chroma subsampling) keeps the container lossless, so the
+# round-trip test is byte-exact; the decoder also handles C420 (the spec
+# default) with nearest-neighbor chroma upsampling. Like the image codecs,
+# demuxers live in a sniff-by-magic registry — a pyav-backed MP4/WebM
+# demuxer self-registers when pyav is importable.
+
+
+def _y4m_encode(width: int, height: int, fps: int, frames: list) -> bytes:
+    """Encode (H, W, 3) uint8 frames (planes in array order: Y, Cb, Cr) as a
+    genuine YUV4MPEG2 stream (C444 planar)."""
+    parts = [f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode()]
+    for fr in frames:
+        parts.append(b"FRAME\n")
+        for plane in range(3):  # planar layout: whole Y, whole Cb, whole Cr
+            parts.append(np.ascontiguousarray(fr[:, :, plane]).tobytes())
+    return b"".join(parts)
+
+
+def _y4m_decode(buf: bytes) -> tuple[int, int, float, list]:
+    """Parse a YUV4MPEG2 stream → (width, height, fps, frames as (H, W, 3)).
+
+    Real format rules honored: space-separated one-letter-tagged stream
+    parameters, rational frame rate ``Fnum:den``, per-frame FRAME lines that
+    may carry their own parameters (ignored, as players do), C444 and C420*
+    colorspaces (chroma upsampled nearest-neighbor for 4:2:0)."""
+    nl = buf.index(b"\n")
+    magic, *params = buf[:nl].split(b" ")
+    if magic != b"YUV4MPEG2":
+        raise ValueError(f"not a YUV4MPEG2 stream: {buf[:9]!r}")
+    w = h = None
+    fps = 25.0
+    cspace = b"C420jpeg"  # the spec's default when C is absent
+    for p in params:
+        tag = p[:1]
+        if tag == b"W":
+            w = int(p[1:])
+        elif tag == b"H":
+            h = int(p[1:])
+        elif tag == b"F":
+            num, den = p[1:].split(b":")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            cspace = p
+    if not w or not h:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if cspace.startswith(b"C444"):
+        cw, ch = w, h
+    elif cspace.startswith(b"C420"):
+        cw, ch = w // 2, h // 2
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cspace!r}")
+    ysz, csz = w * h, cw * ch
+    frames = []
+    off = nl + 1
+    while off < len(buf):
+        fnl = buf.index(b"\n", off)
+        if buf[off:off + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at {off}")
+        off = fnl + 1  # frame parameters between FRAME and \n are ignored
+        y = np.frombuffer(buf[off:off + ysz], dtype=np.uint8).reshape(h, w)
+        cb = np.frombuffer(
+            buf[off + ysz:off + ysz + csz], dtype=np.uint8
+        ).reshape(ch, cw)
+        cr = np.frombuffer(
+            buf[off + ysz + csz:off + ysz + 2 * csz], dtype=np.uint8
+        ).reshape(ch, cw)
+        if (cw, ch) != (w, h):  # 4:2:0 → nearest-neighbor upsample
+            cb = cb.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            cr = cr.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        frames.append(np.stack([y, cb, cr], axis=-1))
+        off += ysz + 2 * csz
+    return w, h, fps, frames
+
+
+def _y4m_frame_size(buf: bytes) -> tuple[int, int, float, int, int]:
+    """Header-only parse → (w, h, fps, data_start, frame_data_size) so the
+    demuxer can SEEK over unsampled frames instead of decoding them."""
+    nl = buf.index(b"\n")
+    w = h = None
+    fps = 25.0
+    cspace = b"C420jpeg"
+    for p in buf[:nl].split(b" ")[1:]:
+        tag = p[:1]
+        if tag == b"W":
+            w = int(p[1:])
+        elif tag == b"H":
+            h = int(p[1:])
+        elif tag == b"F":
+            num, den = p[1:].split(b":")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            cspace = p
+    csz = (w // 2) * (h // 2) if cspace.startswith(b"C420") else w * h
+    return w, h, fps, nl + 1, w * h + 2 * csz
+
+
+#: Video demuxer registry (same sniff-by-magic pattern as the image codec
+#: registry above): name -> (sniff(buf) -> bool,
+#:                           demux(buf) -> (w, h, fps, [(H, W, 3) frames])).
+_DEMUXERS: dict[str, tuple] = {}
+
+
+def register_demuxer(name: str, sniff, demux) -> None:
+    _DEMUXERS[name] = (sniff, demux)
+
+
+def demux_video(buf: bytes) -> tuple[int, int, float, list]:
+    for name, (sniff, demux) in _DEMUXERS.items():
+        if sniff(buf):
+            return demux(buf)
+    raise ValueError(
+        f"no demuxer for payload starting {buf[:12]!r}; "
+        f"registered: {sorted(_DEMUXERS)}"
+    )
+
+
+register_demuxer(
+    "y4m", lambda b: b[:9] == b"YUV4MPEG2", _y4m_decode
+)
+
+
+def _pyav_demux(buf: bytes) -> tuple[int, int, float, list]:
+    """MP4/WebM demux via pyav — registered only when importable (the
+    sandbox image has no pyav; deployment images that do get real MP4 for
+    free through the same registry)."""
+    import io
+
+    import av  # gated
+
+    with av.open(io.BytesIO(buf)) as container:
+        stream = container.streams.video[0]
+        fps = float(stream.average_rate or 25)
+        frames = [
+            fr.to_ndarray(format="rgb24") for fr in container.decode(stream)
+        ]
+    h, w = frames[0].shape[:2]
+    return w, h, fps, frames
+
+
+try:  # pragma: no cover - depends on deployment image
+    import av  # noqa: F401
+
+    register_demuxer(
+        "mp4",
+        lambda b: len(b) > 11 and b[4:8] == b"ftyp",
+        _pyav_demux,
+    )
+except ImportError:
+    pass
+
+
 def with_video_payload(docs: DataFrame, n_frames: int = 6, fps: int = 2) -> DataFrame:
-    """Attach a raw video stand-in: ``n_frames`` concatenated binary PPM
-    frames (the structure of y4m/raw pipes), frame f's pixels derived from
-    (doc_id, f)."""
+    """Attach a genuine YUV4MPEG2 video payload: ``n_frames`` C444 planar
+    frames in one y4m stream, frame f's pixels derived from (doc_id, f)."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -535,8 +690,8 @@ def with_video_payload(docs: DataFrame, n_frames: int = 6, fps: int = 2) -> Data
                 for f in range(n_frames):
                     i = np.arange(w * h * 3, dtype=np.int64)
                     px = ((int(doc_id) * 7 + f * 31 + i * 13) % 256).astype(np.uint8)
-                    frames.append(_ppm_encode(w, h, px.reshape(h, w, 3)))
-                payloads.append(b"".join(frames))
+                    frames.append(px.reshape(h, w, 3))
+                payloads.append(_y4m_encode(w, h, fps, frames))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -550,35 +705,43 @@ def with_video_payload(docs: DataFrame, n_frames: int = 6, fps: int = 2) -> Data
 
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
-    """Video frame sampling: demux the concatenated-PPM stream and emit every
-    ``every_nth`` frame as its own row (1 input row → N output rows — the
-    mapInPandas generator shape any real demuxer uses), with a presentation
-    timestamp from the container's fps."""
+    """Video frame sampling: demux the container (registry dispatch by magic
+    bytes) and emit every ``every_nth`` frame as its own decodable image row
+    (1 input row → N output rows — the mapInPandas generator shape any real
+    demuxer uses), with a presentation timestamp from the CONTAINER's frame
+    rate. y4m payloads take a seek fast path: unsampled frames are skipped
+    by size, never materialized."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload, fps in zip(
-                pdf["doc_id"].astype("int64"), pdf["payload"], pdf["fps"]
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
             ):
                 buf = bytes(payload)
-                idx = off = 0
-                while off < len(buf):
-                    # header "P6 w h 255\n" then w*h*3 bytes
-                    nl = buf.index(b"\n", off)
-                    _, w, h, _ = buf[off:nl].split(b" ")
-                    end = nl + 1 + int(w) * int(h) * 3
-                    if idx % every_nth == 0:
-                        rows.append(
-                            (
-                                int(doc_id),
-                                idx,
-                                buf[off:end],
-                                int(idx * 1000 / int(fps)),
+                if buf[:9] == b"YUV4MPEG2":
+                    w, h, fps, off, fsz = _y4m_frame_size(buf)
+                    idx = 0
+                    while off < len(buf):
+                        fnl = buf.index(b"\n", off)
+                        if idx % every_nth == 0:
+                            fr = _y4m_decode(
+                                buf[:buf.index(b"\n") + 1]
+                                + buf[off:fnl + 1 + fsz]
+                            )[3][0]
+                            rows.append(
+                                (int(doc_id), idx, _ppm_encode(w, h, fr),
+                                 int(idx * 1000 / fps))
                             )
+                        off = fnl + 1 + fsz
+                        idx += 1
+                else:
+                    w, h, fps, frames = demux_video(buf)
+                    for idx in range(0, len(frames), every_nth):
+                        rows.append(
+                            (int(doc_id), idx, _ppm_encode(w, h, frames[idx]),
+                             int(idx * 1000 / fps))
                         )
-                    off = end
-                    idx += 1
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame", "pts_ms"]
             )

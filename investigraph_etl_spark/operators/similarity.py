@@ -19,6 +19,20 @@ Two physical strategies for top-k cosine neighbors:
 Cosine is the order-stable double fold from functions/vectors.py, so scores —
 not just ids — hash-match the oracle.
 
+**Which approximate path for which job (measured, BENCH.md recall sweep):**
+sign-LSH is a NEAR-DUP DEVICE, not a top-k path; **IVF is the top-k path**
+(recall@10 0.94–1.0 at nprobe 4–8 on the sf0.1 embeddings vs 0.04–0.34 for
+LSH at every in-repo geometry). The reason is geometry, not tuning: a
+same-bucket collision needs all P plane signs to agree, probability
+``p^P`` with ``p = 1 - θ/π``, so for a top-k neighbor of a near-uniform
+corpus (θ ≈ 60°, cos ≈ 0.5) each 16-plane table collides at (2/3)^16 ≈
+0.15%, and pushing table count/plane count to recall ≥ 0.8 (e.g. 8 tables
+× 4 planes) yields candidate volumes within ~2× of brute force — LSH at
+that recall IS brute force with extra steps. At near-dup radii the same
+formula flips (θ ≤ 25°, cos ≥ 0.9 → p ≈ 0.86, one 16-plane table catches
+~9%/table and tables multiply cheaply), which is why
+:func:`embedding_neardup` keeps LSH and :func:`ann_recall` measures both.
+
 Reference parity: the reference has no vector ops (SURVEY.md §2.2 "absent");
 these are the training-data-pipeline additions the target engine must carry.
 """
@@ -179,8 +193,12 @@ def lsh_neighbors(
     (probe side only — probe↔probe pairs are not generated), trading p× more
     left-side rows for recall on near-boundary vectors.
 
-    Recall < 1 by construction (the LSH trade); the exact variant for full
-    recall is :func:`cosine_topk`.
+    **Scope (measured — module docstring has the numbers): this is the
+    near-dup/radius device.** Use it to find pairs above a HIGH cosine
+    threshold (embedding_neardup); do NOT use it as a top-k ANN path on
+    near-uniform embeddings — top-k recall ≥ 0.8 forces candidate volumes
+    within ~2× of brute force there. :func:`ivf_topk` is the top-k path;
+    :func:`cosine_topk` is the exact baseline.
 
     Output: (id_a, id_b, cos) with id_a < id_b.
     """

@@ -63,6 +63,10 @@ class IngestPipeline:
     #: pmod(_seq)) — the hot-bucket mitigation when one conversation owns a
     #: large share of the tail (see bench.py run_skew for the measurement).
     write_fanout: int = 1
+    #: feed the previous epoch's hottest-key share into apply_events_batch
+    #: so single-key floods auto-select the salted reduce (SALT_FLOOD_MIN).
+    #: False = measurement control / operator override (manual n_salts only).
+    auto_salt: bool = True
     results: list[dict[str, Any]] = field(default_factory=list)
 
     def _reader(self):
@@ -97,27 +101,33 @@ class IngestPipeline:
         h = hashlib.sha1(os.path.abspath(self.checkpoint_dir).encode()).hexdigest()[:8]
         return f"{self.app_id}@{h}"
 
-    def _shape_hints(self) -> tuple[float | None, float | None]:
-        """Measured (duplication, hottest-bucket share) of the last applied
-        epoch — free from its lineage. apply_events_batch uses them to pick
-        the epoch plan shape (combine-first vs fused one-exchange, see
-        FUSE_DUP_MAX / FUSE_SKEW_MAX)."""
+    def _shape_hints(self) -> tuple[float | None, float | None, float | None]:
+        """Measured (duplication, hottest-bucket share, hottest-key share)
+        of the last applied epoch — free from its lineage. apply_events_batch
+        uses them to pick the epoch plan shape (combine-first vs fused
+        one-exchange, see FUSE_DUP_MAX / FUSE_SKEW_MAX) and to auto-select
+        the salted reduce on single-key floods (SALT_FLOOD_MIN)."""
         for res in reversed(self.results):
             ea = res.get("events_applied")
             cr = res.get("conflicts_resolved")
             if ea and cr is not None and ea > cr:
-                return ea / (ea - cr), res.get("max_bucket_share")
-        return None, None
+                return (
+                    ea / (ea - cr),
+                    res.get("max_bucket_share"),
+                    res.get("max_key_flood"),
+                )
+        return None, None, None
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         with phase("epoch"):
             with phase("table_load"):
                 table = LakeTable.load(self.spark, self.table_root)
                 table.write_fanout = self.write_fanout
-            dup_hint, skew_hint = self._shape_hints()
+            dup_hint, skew_hint, salt_hint = self._shape_hints()
             res = apply_events_batch(
                 table, batch_df, app_id=self.commit_token, epoch_id=batch_id,
                 n_salts=self.n_salts, dup_hint=dup_hint, skew_hint=skew_hint,
+                salt_hint=salt_hint if self.auto_salt else None,
             )
         self.results.append(res)
 

