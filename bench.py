@@ -186,7 +186,7 @@ def run_skew(spark, n_events: int | None = None) -> dict:
     # distinct turns: the hot bucket is large in ROWS, not deduped away
     hot.loc[mask, "turn_idx"] = np.arange(mask.sum()).astype("int32")
 
-    def one(tail, fanout, auto_salt=True):
+    def one(tail, fanout, n_salts=None):
         work = tempfile.mkdtemp(prefix="bench-skew-", dir=BENCH_DIR)
         landing = os.path.join(work, "landing")
         os.makedirs(landing)
@@ -198,20 +198,21 @@ def run_skew(spark, n_events: int | None = None) -> dict:
         pipe = IngestPipeline(
             spark, events_dir=landing, table_root=os.path.join(work, "table"),
             checkpoint_dir=os.path.join(work, "ckpt"),
-            max_files_per_trigger=16, write_fanout=fanout, auto_salt=auto_salt,
+            max_files_per_trigger=16, write_fanout=fanout, n_salts=n_salts,
         )
         t0 = time.time()
         res = pipe.run_available_now()
         dt = time.time() - t0
         share = max(r.get("max_bucket_share", 0.0) for r in res)
-        salted = sum(1 for r in res if r.get("n_salts_used"))
         shutil.rmtree(work, ignore_errors=True)
-        return round(len(tail) / dt, 1), round(share, 3), salted
+        return round(len(tail) / dt, 1), round(share, 3)
 
     # single-KEY flood (round-4 verdict #4): ~50% of events re-write ONE
-    # (conv, turn). Epoch 1's lineage carries max_key_flood; epochs 2+ then
-    # auto-select the salted two-phase reduce. The control run suppresses
-    # the hint to show the payoff. 4 epochs so 3 of 4 get the adapted shape.
+    # (conv, turn). The default policy keeps the combine-first shape (its
+    # map-side combine is the flood mitigation; the lineage flood hint only
+    # vetoes the fused shape — FUSE_FLOOD_MAX); the forced-n_salts run
+    # measures WHY salting is not the default mitigation here (the second
+    # exchange of the two-phase reduce costs more than it spreads).
     nf = len(ev)
     flood = generate_events(
         GeneratorConfig(n_events=nf, n_convs=max(100, nf // 50), seed=7, n_epochs=4)
@@ -220,11 +221,11 @@ def run_skew(spark, n_events: int | None = None) -> dict:
     flood.loc[fmask, "conv_id"] = "flood-conv"
     flood.loc[fmask, "turn_idx"] = np.int32(0)
 
-    uni_eps, uni_share, _ = one(ev, 1)
-    hot_eps, hot_share, _ = one(hot, 1)
-    hot4_eps, _, _ = one(hot, 4)
-    fl_off_eps, _, fl_off_salted = one(flood, 1, auto_salt=False)
-    fl_auto_eps, _, fl_auto_salted = one(flood, 1, auto_salt=True)
+    uni_eps, uni_share = one(ev, 1)
+    hot_eps, hot_share = one(hot, 1)
+    hot4_eps, _ = one(hot, 4)
+    fl_eps, _ = one(flood, 1)
+    fl_salt_eps, _ = one(flood, 1, n_salts=8)
     return {
         "events": len(ev),
         "uniform_ev_s": uni_eps,
@@ -234,10 +235,9 @@ def run_skew(spark, n_events: int | None = None) -> dict:
         "hot_max_bucket_share": hot_share,
         "skew_penalty": round(uni_eps / hot_eps, 3),
         "skew_penalty_fanout4": round(uni_eps / hot4_eps, 3),
-        "keyflood_nosalt_ev_s": fl_off_eps,
-        "keyflood_autosalt_ev_s": fl_auto_eps,
-        "keyflood_autosalt_gain": round(fl_auto_eps / fl_off_eps, 3),
-        "keyflood_salted_epochs": [fl_off_salted, fl_auto_salted],
+        "keyflood_ev_s": fl_eps,
+        "keyflood_forced_salt_ev_s": fl_salt_eps,
+        "keyflood_salt_cost": round(fl_eps / fl_salt_eps, 3),
     }
 
 

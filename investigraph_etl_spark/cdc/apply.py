@@ -72,21 +72,23 @@ FUSE_DUP_MAX = 2.0
 FUSE_SKEW_MAX = 0.25
 
 #: A single red-hot KEY (one (conv, turn) re-written over and over inside
-#: one epoch) floods one reducer even through map-side combine — partial
-#: aggregation bounds shuffle rows, not the per-map-task fold work of the
-#: flooded key's updates arriving in one scan partition's worth of files.
+#: one epoch) is harmless to the COMBINE-FIRST shape: partial (map-side)
+#: aggregation hands the reducer at most one row per key per map task, and
+#: fold work is proportional to ROWS regardless of key concentration — so
+#: spreading the key further with the salted two-phase reduce only buys a
+#: second exchange (measured, bench.py --skew keyflood rows: a 50%-one-key
+#: tail runs at ~0.9x of uniform unsalted, and FORCING n_salts=8 on it
+#: costs ~1.4x). The FUSED one-exchange shape is the opposite: it has no
+#: map-side combine, so a flooded key's whole share folds in ONE task.
 #: The previous epoch's lineage gives the hottest-key share for free
-#: (max(_cnt) / events); at or above this share the next epoch auto-selects
-#: the salted two-phase reduce (resolve_lww n_salts) instead of waiting for
-#: an operator to set the manual knob.
-SALT_FLOOD_MIN = 0.2
-
-
-def _auto_salt_width(spark) -> int:
-    """Salt fan-out for an auto-selected salted reduce: enough ways to
-    spread one key across the machine's cores, capped — phase 2 re-merges
-    ≤ n_salts survivors per key, so wider salting only adds phase-2 rows."""
-    return max(2, min(16, spark.sparkContext.defaultParallelism))
+#: (max(_cnt) / events); at or above this share the next epoch VETOES the
+#: fused shape. This is a sharper signal than FUSE_SKEW_MAX's bucket share
+#: (a bucket hot from many medium keys still spreads inside the fused
+#: task's fold; a flooded KEY cannot), and it covers the window where the
+#: flood is big enough to serialize a fused task but the bucket share
+#: stays under the skew gate. Salting itself (resolve_lww n_salts) remains
+#: the manual knob for deployments whose aggregation shape lacks combine.
+FUSE_FLOOD_MAX = 0.2
 
 
 def apply_events_batch(
@@ -97,7 +99,7 @@ def apply_events_batch(
     n_salts: int | None = None,
     dup_hint: float | None = None,
     skew_hint: float | None = None,
-    salt_hint: float | None = None,
+    flood_hint: float | None = None,
 ) -> dict[str, Any]:
     """Apply one raw event micro-batch to the table, exactly once.
 
@@ -119,13 +121,6 @@ def apply_events_batch(
     valid = canon.filter(F.col("_valid")).drop("_valid")
 
     mor_fast = st.mode == "mor" and st.n_buckets <= OBS_LINEAGE_MAX_BUCKETS
-    # Auto-salting: when the operator hasn't set n_salts and the previous
-    # epoch's lineage shows one KEY owning >= SALT_FLOOD_MIN of its events,
-    # spread that key with the salted two-phase reduce. Manual n_salts
-    # always wins; the hint only ever turns salting ON (a flood that
-    # subsides turns it back off next epoch via the same feedback).
-    if not n_salts and salt_hint is not None and salt_hint >= SALT_FLOOD_MIN:
-        n_salts = _auto_salt_width(table.spark)
     # Fused one-exchange epoch (MOR, unsalted, low-duplication): pre-partition
     # the reduce by conv_id into a width dividing n_buckets, so the SAME
     # exchange serves the LWW aggregation AND routes every bucket wholly into
@@ -140,6 +135,7 @@ def apply_events_batch(
         else (
             dup_hint is not None and dup_hint < FUSE_DUP_MAX
             and (skew_hint is None or skew_hint < FUSE_SKEW_MAX)
+            and (flood_hint is None or flood_hint < FUSE_FLOOD_MAX)
         )
     )
     pre_parts = (fw if fw_set else _fused_width(table.spark, st.n_buckets)) if fuse else None

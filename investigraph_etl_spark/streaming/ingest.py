@@ -63,10 +63,6 @@ class IngestPipeline:
     #: pmod(_seq)) — the hot-bucket mitigation when one conversation owns a
     #: large share of the tail (see bench.py run_skew for the measurement).
     write_fanout: int = 1
-    #: feed the previous epoch's hottest-key share into apply_events_batch
-    #: so single-key floods auto-select the salted reduce (SALT_FLOOD_MIN).
-    #: False = measurement control / operator override (manual n_salts only).
-    auto_salt: bool = True
     results: list[dict[str, Any]] = field(default_factory=list)
 
     def _reader(self):
@@ -104,9 +100,11 @@ class IngestPipeline:
     def _shape_hints(self) -> tuple[float | None, float | None, float | None]:
         """Measured (duplication, hottest-bucket share, hottest-key share)
         of the last applied epoch — free from its lineage. apply_events_batch
-        uses them to pick the epoch plan shape (combine-first vs fused
-        one-exchange, see FUSE_DUP_MAX / FUSE_SKEW_MAX) and to auto-select
-        the salted reduce on single-key floods (SALT_FLOOD_MIN)."""
+        uses them to pick the epoch plan shape: combine-first vs fused
+        one-exchange (FUSE_DUP_MAX / FUSE_SKEW_MAX), with single-key floods
+        vetoing the fused shape (FUSE_FLOOD_MAX — map-side combine, which
+        only the combine-first shape has, is the measured flood
+        mitigation)."""
         for res in reversed(self.results):
             ea = res.get("events_applied")
             cr = res.get("conflicts_resolved")
@@ -123,11 +121,11 @@ class IngestPipeline:
             with phase("table_load"):
                 table = LakeTable.load(self.spark, self.table_root)
                 table.write_fanout = self.write_fanout
-            dup_hint, skew_hint, salt_hint = self._shape_hints()
+            dup_hint, skew_hint, flood_hint = self._shape_hints()
             res = apply_events_batch(
                 table, batch_df, app_id=self.commit_token, epoch_id=batch_id,
                 n_salts=self.n_salts, dup_hint=dup_hint, skew_hint=skew_hint,
-                salt_hint=salt_hint if self.auto_salt else None,
+                flood_hint=flood_hint,
             )
         self.results.append(res)
 

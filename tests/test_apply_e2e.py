@@ -331,92 +331,81 @@ def test_fused_width_env_parsed_defensively(monkeypatch):
         _parse_fused_width_env(32)
 
 
-def test_single_key_flood_auto_selects_salted_shape(spark, tmp_path):
-    """VERDICT r4 #4: a single red-hot (conv, turn) key re-written for a
-    large share of an epoch lands on one reducer until someone intervenes.
-    The previous epoch's lineage carries the hottest-key share for free
-    (max(_cnt)/events) and must auto-select the salted two-phase reduce on
-    the NEXT epoch — no manual n_salts knob."""
+def _epoch_tail(flood_rows: int, uniq_rows: int, n_epochs: int):
+    """Synthetic tail: per epoch, `flood_rows` upserts re-write ONE
+    (conv, turn) key and `uniq_rows` inserts hit unique keys."""
     import pandas as pd
-
-    from investigraph_etl_spark.cdc.apply import SALT_FLOOD_MIN
-    from investigraph_etl_spark.cdc.generator import write_epoch_files
-    from investigraph_etl_spark.streaming.ingest import IngestPipeline
 
     rows = []
     t0 = pd.Timestamp("2025-06-01")
     seq = 0
-    for epoch in range(3):
-        for i in range(500):
-            # 60% of each epoch's events re-write ONE key (conv "flood", turn 0)
-            hot = i % 5 < 3
+    for epoch in range(n_epochs):
+        for i in range(flood_rows + uniq_rows):
+            hot = i < flood_rows
             rows.append({
-                "op": "upsert",
+                "op": "upsert" if hot else "insert",
                 "conv_id": "flood" if hot else f"c{epoch}-{i}",
                 "turn_idx": 0,
                 "role": "user", "text": f"t{seq}", "tool": None,
-                "ts": t0 + pd.Timedelta(seconds=seq), "seq": seq, "epoch": epoch,
+                "ts": t0 + pd.Timedelta(seconds=seq), "seq": seq,
+                "epoch": epoch,
             })
             seq += 1
     ev = pd.DataFrame(rows)
     ev["turn_idx"] = ev["turn_idx"].astype("int32")
     ev["ts"] = ev["ts"].astype("datetime64[us]")
     ev["tool"] = ev["tool"].astype("string")
-    landing = str(tmp_path / "landing")
-    write_epoch_files(ev, landing, files_per_epoch=4)
-    LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
-                     n_buckets=8, mode="mor")
-    pipe = IngestPipeline(
-        spark, events_dir=landing, table_root=str(tmp_path / "t"),
-        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=4,
-    )
-    results = pipe.run_available_now()
-    assert len(results) == 3
-    # the flood is visible in every epoch's lineage...
-    assert all(r["max_key_flood"] >= SALT_FLOOD_MIN for r in results)
-    # ...epoch 1 has no hint yet (unsalted); epochs 2-3 auto-salt
-    assert results[0]["n_salts_used"] == 0
-    assert all(r["n_salts_used"] >= 2 for r in results[1:])
-    # correctness unchanged: LWW winner of the flooded key is the last write
-    t = LakeTable.load(spark, str(tmp_path / "t"))
-    flood_rows = [r for r in t.read().collect() if r["conv_id"] == "flood"]
-    assert len(flood_rows) == 1
-    last_hot_seq = max(
-        r["seq"] for r in rows if r["conv_id"] == "flood"
-    )
-    assert flood_rows[0]["text"] == f"t{last_hot_seq}"
+    return ev
 
 
-def test_unique_key_tail_never_auto_salts(spark, tmp_path):
-    """Counter-face: an even tail (every key written once) must stay
-    unsalted — the hint only fires on measured floods."""
-    import pandas as pd
-
+def _run_tail(spark, tmp_path, ev, tag):
     from investigraph_etl_spark.cdc.generator import write_epoch_files
     from investigraph_etl_spark.streaming.ingest import IngestPipeline
 
-    rows = []
-    t0 = pd.Timestamp("2025-06-01")
-    seq = 0
-    for epoch in range(2):
-        for i in range(300):
-            rows.append({
-                "op": "insert", "conv_id": f"c{epoch}-{i}", "turn_idx": 0,
-                "role": "user", "text": f"t{seq}", "tool": None,
-                "ts": t0 + pd.Timedelta(seconds=seq), "seq": seq, "epoch": epoch,
-            })
-            seq += 1
-    ev = pd.DataFrame(rows)
-    ev["turn_idx"] = ev["turn_idx"].astype("int32")
-    ev["ts"] = ev["ts"].astype("datetime64[us]")
-    ev["tool"] = ev["tool"].astype("string")
-    landing = str(tmp_path / "landing")
+    landing = str(tmp_path / f"landing-{tag}")
     write_epoch_files(ev, landing, files_per_epoch=4)
-    LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
-                     n_buckets=8, mode="mor")
+    LakeTable.create(spark, str(tmp_path / f"t-{tag}"), TRANSCRIPT_SCHEMA,
+                     n_buckets=32, mode="mor")
     pipe = IngestPipeline(
-        spark, events_dir=landing, table_root=str(tmp_path / "t"),
-        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=4,
+        spark, events_dir=landing, table_root=str(tmp_path / f"t-{tag}"),
+        checkpoint_dir=str(tmp_path / f"ckpt-{tag}"), max_files_per_trigger=4,
     )
-    results = pipe.run_available_now()
-    assert all(r["n_salts_used"] == 0 for r in results)
+    return pipe.run_available_now()
+
+
+def test_single_key_flood_vetoes_fused_shape(spark, tmp_path):
+    """VERDICT r4 #4, resolved by measurement (bench.py --skew keyflood
+    rows): map-side combine absorbs single-key floods in the COMBINE-FIRST
+    shape (forcing the salted reduce on a 50%-one-key tail COSTS ~1.4x), so
+    the lineage's hottest-key share must instead VETO the FUSED shape — the
+    one shape with no combine, where the flood's whole share folds in one
+    task. This tail is crafted so dup < FUSE_DUP_MAX and hottest-bucket
+    share < FUSE_SKEW_MAX (the old gates would fuse); only the key-flood
+    signal catches it."""
+    from investigraph_etl_spark.cdc.apply import (
+        FUSE_DUP_MAX,
+        FUSE_FLOOD_MAX,
+        FUSE_SKEW_MAX,
+    )
+
+    # ~20.5% of each epoch on one key, 32 buckets → bucket share ≈ 0.23
+    results = _run_tail(spark, tmp_path,
+                        _epoch_tail(flood_rows=205, uniq_rows=795, n_epochs=3),
+                        "flood")
+    assert len(results) == 3
+    for r in results:
+        dup = r["events_applied"] / (r["events_applied"] - r["conflicts_resolved"])
+        assert dup < FUSE_DUP_MAX                       # dup gate would pass
+        assert r["max_bucket_share"] < FUSE_SKEW_MAX    # skew gate would pass
+        assert r["max_key_flood"] >= FUSE_FLOOD_MAX     # flood signal fires
+        assert r["n_salts_used"] == 0                   # salting stays manual
+    # epoch 1 has no hint (combine by default); epochs 2-3 would have fused
+    # on dup/skew alone — the flood hint keeps them combine-first
+    assert [r["plan_shape"] for r in results] == ["combine"] * 3
+
+    # control: same tail shape with a sub-threshold flood fuses as before
+    ctl = _run_tail(spark, tmp_path,
+                    _epoch_tail(flood_rows=50, uniq_rows=950, n_epochs=3),
+                    "ctl")
+    assert all(r["max_key_flood"] < FUSE_FLOOD_MAX for r in ctl)
+    assert [r["plan_shape"] for r in ctl] == ["combine", "fused", "fused"]
