@@ -212,11 +212,10 @@ def run_skew(spark, n_events: int | None = None) -> dict:
     # map-side combine is the flood mitigation; the lineage flood hint only
     # vetoes the fused shape — FUSE_FLOOD_MAX); the forced-n_salts run
     # measures WHY salting is not the default mitigation here (the second
-    # exchange of the two-phase reduce costs more than it spreads).
-    nf = len(ev)
-    flood = generate_events(
-        GeneratorConfig(n_events=nf, n_convs=max(100, nf // 50), seed=7, n_epochs=4)
-    )
+    # exchange of the two-phase reduce costs more than it spreads). Same
+    # event count AND same epoch count as the uniform baseline — the
+    # flood-vs-uniform ratio must not be confounded by per-epoch fixed cost.
+    flood = ev.copy()
     fmask = np.arange(len(flood)) % 2 == 0
     flood.loc[fmask, "conv_id"] = "flood-conv"
     flood.loc[fmask, "turn_idx"] = np.int32(0)

@@ -76,9 +76,10 @@ FUSE_SKEW_MAX = 0.25
 #: aggregation hands the reducer at most one row per key per map task, and
 #: fold work is proportional to ROWS regardless of key concentration — so
 #: spreading the key further with the salted two-phase reduce only buys a
-#: second exchange (measured, bench.py --skew keyflood rows: a 50%-one-key
-#: tail runs at ~0.9x of uniform unsalted, and FORCING n_salts=8 on it
-#: costs ~1.4x). The FUSED one-exchange shape is the opposite: it has no
+#: second exchange (measured, bench.py --skew keyflood rows, like-for-like
+#: epochs: a 50%-one-key tail runs 2x FASTER than uniform unsalted — the
+#: reduce collapses half the batch map-side — and FORCING n_salts=8 on it
+#: costs 1.4-1.6x). The FUSED one-exchange shape is the opposite: it has no
 #: map-side combine, so a flooded key's whole share folds in ONE task.
 #: The previous epoch's lineage gives the hottest-key share for free
 #: (max(_cnt) / events); at or above this share the next epoch VETOES the
@@ -129,7 +130,15 @@ def apply_events_batch(
     # the exchange, so map-side combine is lost; on high-duplication tails
     # the default combine-first shape shuffles ~dup× fewer rows and wins
     # (see FUSE_DUP_MAX). Unknown duplication → combine-first.
-    fw_set, fw = _parse_fused_width_env(st.n_buckets)  # ops knob, one parse site
+    # The env knob is consulted only when the fused shape is a candidate at
+    # all (MOR, unsalted): a COW/salted pipeline must not die on a knob that
+    # cannot apply to it, and a fleet with heterogeneous n_buckets can set
+    # the knob without aborting the tables it doesn't divide (those warn
+    # once and fall back to the heuristic).
+    fw_set, fw = (
+        _parse_fused_width_env(st.n_buckets) if mor_fast and not n_salts
+        else (False, None)
+    )
     fuse = mor_fast and not n_salts and (
         fw is not None if fw_set
         else (
@@ -164,10 +173,15 @@ def _parse_fused_width_env(n_buckets: int) -> tuple[bool, int | None]:
     widths that don't divide ``n_buckets``). Returns ``(set, width)``:
     unset/blank → ``(False, None)`` (heuristic decides); ``0`` or negative →
     ``(True, None)`` = fused shape disabled; a positive divisor of
-    ``n_buckets`` → ``(True, w)`` = fused shape forced at that width. A
-    non-integer or a non-divisor raises a clear config error rather than
-    corrupting the epoch plan."""
+    ``n_buckets`` → ``(True, w)`` = fused shape forced at that width.
+
+    Invalid values (non-integer, or a width that doesn't divide this
+    table's ``n_buckets``) WARN once per process and fall back to the
+    heuristic — a tuning knob must never kill a running stream, and one
+    fleet-wide setting may legitimately not divide every table's bucket
+    count."""
     import os
+    import warnings
 
     raw = os.environ.get("SPARK_GRAFT_FUSED_WIDTH")
     if raw is None or not raw.strip():
@@ -175,21 +189,34 @@ def _parse_fused_width_env(n_buckets: int) -> tuple[bool, int | None]:
     try:
         w = int(raw.strip())
     except ValueError:
-        raise ValueError(
-            f"SPARK_GRAFT_FUSED_WIDTH={raw!r} is not an integer "
+        _warn_once(
+            warnings,
+            f"ignoring SPARK_GRAFT_FUSED_WIDTH={raw!r}: not an integer "
             "(0 disables the fused epoch shape; a positive divisor of "
-            "n_buckets forces it)"
-        ) from None
+            "n_buckets forces it) — falling back to the adaptive heuristic",
+        )
+        return False, None
     if w <= 0:
         return True, None
     if n_buckets % w:
-        raise ValueError(
-            f"SPARK_GRAFT_FUSED_WIDTH={w} does not divide n_buckets="
-            f"{n_buckets}: the fused epoch requires the write width to "
-            "divide the bucket count (murmur3 partition identity); pick a "
-            "divisor, or 0 to disable the fused shape"
+        _warn_once(
+            warnings,
+            f"ignoring SPARK_GRAFT_FUSED_WIDTH={w} for this table: it does "
+            f"not divide n_buckets={n_buckets} (the fused epoch needs the "
+            "write width to divide the bucket count, murmur3 partition "
+            "identity) — falling back to the adaptive heuristic",
         )
+        return False, None
     return True, w
+
+
+_WARNED: set[str] = set()
+
+
+def _warn_once(warnings_mod, msg: str) -> None:
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        warnings_mod.warn(msg, stacklevel=3)
 
 
 def _fused_width(spark, n_buckets: int) -> int | None:

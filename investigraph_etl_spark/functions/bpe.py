@@ -142,9 +142,17 @@ def train_bpe_df(
     """
     from pyspark.sql import functions as F
 
+    # Word extraction MUST match train_bpe's Python str.split() exactly —
+    # Java regex \s is ASCII-only while str.split() splits on Unicode
+    # whitespace (NBSP etc., common in the SentencePiece-preprocessed text
+    # the EOW escape targets) — so the split is the same Python call,
+    # Arrow-batched.
+    @pandas_udf("array<string>")
+    def _words(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: (t or "").split())
+
     words = (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
-        .filter(F.col("w") != "")
+        df.select(F.explode(_words(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()

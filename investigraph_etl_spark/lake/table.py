@@ -150,8 +150,10 @@ class _StaleInputs(Exception):
 
 
 class LakeTable:
-    #: table roots whose bucket-layout stamp this process already verified
-    _bucket_fn_ok: set[str] = set()
+    #: class-level default so instances built without __init__ (tests /
+    #: serialization) still get layout enforcement rather than an
+    #: AttributeError; load(check_bucket_fn=False) overrides per-instance
+    _allow_foreign_layout = False
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -159,6 +161,11 @@ class LakeTable:
         self.fs = storage_for(root)  # control plane; data plane = Spark/Hadoop FS
         self.data_dir = join(root, "data")
         self.log = CommitLog(root)
+        #: migration escape hatch (load(check_bucket_fn=False)): lets
+        #: rebucket() run on a foreign/unstamped layout. Everything else
+        #: refuses via _state() — reads mis-prune and writes split keys on
+        #: a layout hashed by a different bucket function.
+        self._allow_foreign_layout = False
 
     # ------------------------------------------------------------------ setup
     @classmethod
@@ -246,26 +253,20 @@ class LakeTable:
     def load(
         cls, spark: SparkSession, root: str, check_bucket_fn: bool = True
     ) -> "LakeTable":
+        """Open an existing table.
+
+        ``check_bucket_fn=False`` is the migration escape hatch for
+        foreign/unstamped bucket layouts: it opens the table without the
+        layout guard so ``rebucket()`` can rewrite it under the current
+        bucket function. With the default, the guard is enforced lazily by
+        ``_state()`` on every state read (zero extra control-plane I/O —
+        and immune to the table being replaced underneath a long-lived
+        process, which a load-time-only check would miss)."""
         t = cls(spark, root)
         if not t.log.exists():
             raise FileNotFoundError(f"no lake table at {root}")
-        if check_bucket_fn and root not in cls._bucket_fn_ok:
-            recorded = t._state().bucket_fn
-            if recorded != BUCKET_FN:
-                layout = recorded or "UNSTAMPED (pre-stamping; possibly xxhash64-era)"
-                raise BucketFnMismatch(
-                    f"table at {root} has bucket layout {layout}, this code "
-                    f"writes {BUCKET_FN}. Writing would split keys across "
-                    "buckets. Migrate with LakeTable.load(spark, root, "
-                    "check_bucket_fn=False).rebucket(n_buckets) — rebucket "
-                    "recomputes every row's bucket with the current function "
-                    "and stamps the layout."
-                )
-            # once stamped-and-matching, a layout can only change via
-            # rebucket() in THIS code version (which re-stamps BUCKET_FN),
-            # so cache the verdict — per-trigger load() in the ingest hot
-            # path must not pay a control-plane state read per epoch
-            cls._bucket_fn_ok.add(root)
+        if not check_bucket_fn:
+            t._allow_foreign_layout = True
         return t
 
     # ------------------------------------------------------------------ state
@@ -273,6 +274,20 @@ class LakeTable:
         st = self.log.read_state(at_version)
         if st is None:
             raise FileNotFoundError(f"no lake table at {self.root}")
+        # the bucket function is part of the persisted format: enforce on
+        # every state read (reads prune by computed bucket, writes route by
+        # it), not just at load — a table swapped/restored underneath a
+        # long-lived process must still refuse
+        if not self._allow_foreign_layout and st.bucket_fn != BUCKET_FN:
+            layout = st.bucket_fn or "UNSTAMPED (pre-stamping; possibly xxhash64-era)"
+            raise BucketFnMismatch(
+                f"table at {self.root} has bucket layout {layout}, this "
+                f"code uses {BUCKET_FN}. Reads would mis-prune and writes "
+                "would split keys across buckets. Migrate with "
+                "LakeTable.load(spark, root, check_bucket_fn=False)"
+                ".rebucket(n_buckets) — rebucket recomputes every row's "
+                "bucket with the current function and stamps the layout."
+            )
         return st
 
     @property

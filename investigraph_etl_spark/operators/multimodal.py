@@ -536,13 +536,15 @@ def _y4m_encode(width: int, height: int, fps: int, frames: list) -> bytes:
     return b"".join(parts)
 
 
-def _y4m_decode(buf: bytes) -> tuple[int, int, float, list]:
-    """Parse a YUV4MPEG2 stream → (width, height, fps, frames as (H, W, 3)).
+def _y4m_header(buf: bytes) -> tuple[int, int, float, int, int, int]:
+    """THE YUV4MPEG2 stream-header parser (single definition — the decoder
+    and the seek fast path must never disagree on frame geometry). Returns
+    ``(w, h, fps, chroma_w, chroma_h, data_start)``; raises clear errors on
+    a wrong magic, missing W/H, or an unsupported colorspace.
 
     Real format rules honored: space-separated one-letter-tagged stream
-    parameters, rational frame rate ``Fnum:den``, per-frame FRAME lines that
-    may carry their own parameters (ignored, as players do), C444 and C420*
-    colorspaces (chroma upsampled nearest-neighbor for 4:2:0)."""
+    parameters, rational frame rate ``Fnum:den``, C444 and C420* (the
+    spec's default) colorspaces."""
     nl = buf.index(b"\n")
     magic, *params = buf[:nl].split(b" ")
     if magic != b"YUV4MPEG2":
@@ -569,9 +571,18 @@ def _y4m_decode(buf: bytes) -> tuple[int, int, float, list]:
         cw, ch = w // 2, h // 2
     else:
         raise ValueError(f"unsupported y4m colorspace {cspace!r}")
+    return w, h, fps, cw, ch, nl + 1
+
+
+def _y4m_decode(buf: bytes) -> tuple[int, int, float, list]:
+    """Parse a YUV4MPEG2 stream → (width, height, fps, frames as (H, W, 3)
+    YCbCr planes — plane-EXACT; the registry's RGB face is _y4m_demux_rgb).
+
+    Per-frame FRAME lines may carry their own parameters (ignored, as
+    players do); 4:2:0 chroma is upsampled nearest-neighbor."""
+    w, h, fps, cw, ch, off = _y4m_header(buf)
     ysz, csz = w * h, cw * ch
     frames = []
-    off = nl + 1
     while off < len(buf):
         fnl = buf.index(b"\n", off)
         if buf[off:off + 5] != b"FRAME":
@@ -592,31 +603,45 @@ def _y4m_decode(buf: bytes) -> tuple[int, int, float, list]:
     return w, h, fps, frames
 
 
-def _y4m_frame_size(buf: bytes) -> tuple[int, int, float, int, int]:
-    """Header-only parse → (w, h, fps, data_start, frame_data_size) so the
-    demuxer can SEEK over unsampled frames instead of decoding them."""
-    nl = buf.index(b"\n")
-    w = h = None
-    fps = 25.0
-    cspace = b"C420jpeg"
-    for p in buf[:nl].split(b" ")[1:]:
-        tag = p[:1]
-        if tag == b"W":
-            w = int(p[1:])
-        elif tag == b"H":
-            h = int(p[1:])
-        elif tag == b"F":
-            num, den = p[1:].split(b":")
-            fps = int(num) / int(den)
-        elif tag == b"C":
-            cspace = p
-    csz = (w // 2) * (h // 2) if cspace.startswith(b"C420") else w * h
-    return w, h, fps, nl + 1, w * h + 2 * csz
+def _ycbcr_to_rgb(fr: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 (JPEG/JFIF matrix) YCbCr → RGB, uint8 in/out."""
+    y = fr[:, :, 0].astype(np.float32)
+    cb = fr[:, :, 1].astype(np.float32) - 128.0
+    cr = fr[:, :, 2].astype(np.float32) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(fr: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 RGB → YCbCr, uint8 in/out (inverse of above
+    within ±2/channel rounding)."""
+    r = fr[:, :, 0].astype(np.float32)
+    g = fr[:, :, 1].astype(np.float32)
+    b = fr[:, :, 2].astype(np.float32)
+    ycc = np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(ycc), 0, 255).astype(np.uint8)
 
 
 #: Video demuxer registry (same sniff-by-magic pattern as the image codec
 #: registry above): name -> (sniff(buf) -> bool,
 #:                           demux(buf) -> (w, h, fps, [(H, W, 3) frames])).
+#: CONTRACT: every registered demuxer returns frames in RGB — pyav decodes
+#: to rgb24 natively; the y4m entry converts its YCbCr planes via BT.601
+#: (the plane-exact codec stays available as _y4m_decode).
 _DEMUXERS: dict[str, tuple] = {}
 
 
@@ -634,8 +659,13 @@ def demux_video(buf: bytes) -> tuple[int, int, float, list]:
     )
 
 
+def _y4m_demux_rgb(buf: bytes) -> tuple[int, int, float, list]:
+    w, h, fps, planes = _y4m_decode(buf)
+    return w, h, fps, [_ycbcr_to_rgb(fr) for fr in planes]
+
+
 register_demuxer(
-    "y4m", lambda b: b[:9] == b"YUV4MPEG2", _y4m_decode
+    "y4m", lambda b: b[:9] == b"YUV4MPEG2", _y4m_demux_rgb
 )
 
 
@@ -690,7 +720,10 @@ def with_video_payload(docs: DataFrame, n_frames: int = 6, fps: int = 2) -> Data
                 for f in range(n_frames):
                     i = np.arange(w * h * 3, dtype=np.int64)
                     px = ((int(doc_id) * 7 + f * 31 + i * 13) % 256).astype(np.uint8)
-                    frames.append(px.reshape(h, w, 3))
+                    # synthetic frames are RGB; store them the way a real
+                    # y4m carries pixels (YCbCr planes, BT.601) so every
+                    # demuxer in the registry emits consistent RGB back
+                    frames.append(_rgb_to_ycbcr(px.reshape(h, w, 3)))
                 payloads.append(_y4m_encode(w, h, fps, frames))
             yield pd.DataFrame(
                 {
@@ -720,17 +753,17 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
             ):
                 buf = bytes(payload)
                 if buf[:9] == b"YUV4MPEG2":
-                    w, h, fps, off, fsz = _y4m_frame_size(buf)
+                    w, h, fps, cw, ch, off = _y4m_header(buf)
+                    head = buf[:off]
+                    fsz = w * h + 2 * cw * ch
                     idx = 0
                     while off < len(buf):
                         fnl = buf.index(b"\n", off)
                         if idx % every_nth == 0:
-                            fr = _y4m_decode(
-                                buf[:buf.index(b"\n") + 1]
-                                + buf[off:fnl + 1 + fsz]
-                            )[3][0]
+                            fr = _y4m_decode(head + buf[off:fnl + 1 + fsz])[3][0]
                             rows.append(
-                                (int(doc_id), idx, _ppm_encode(w, h, fr),
+                                (int(doc_id), idx,
+                                 _ppm_encode(w, h, _ycbcr_to_rgb(fr)),
                                  int(idx * 1000 / fps))
                             )
                         off = fnl + 1 + fsz

@@ -423,7 +423,13 @@ class FsspecStorage(Storage):
         for key in ("mtime", "modification_time", "last_modified", "LastModified"):
             v = info.get(key) if isinstance(info, dict) else None
             if isinstance(v, (int, float)) and not isinstance(v, bool):
-                return float(v)
+                v = float(v)
+                # some backends (DBFS-style APIs) report epoch MILLIseconds;
+                # epoch seconds won't exceed 1e12 for ~30,000 years, so the
+                # magnitude disambiguates. A millisecond value misread as
+                # seconds would make every file look forever-young and turn
+                # vacuum into a silent no-op.
+                return v / 1000.0 if v > 1e12 else v
             if isinstance(v, _dt.datetime) and v.tzinfo is not None:
                 return v.timestamp()
         m = self.fs.modified(path)

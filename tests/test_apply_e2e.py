@@ -306,10 +306,14 @@ def test_hot_bucket_tail_stays_on_combine_shape(spark, tmp_path):
 
 
 def test_fused_width_env_parsed_defensively(monkeypatch):
-    """ADVICE r4: SPARK_GRAFT_FUSED_WIDTH is parsed at ONE site; junk values
-    raise a clear config error instead of a bare ValueError mid-batch, and
-    widths that don't divide n_buckets are rejected up front instead of
-    silently paying a double exchange."""
+    """ADVICE r4 (+ round-5 review): SPARK_GRAFT_FUSED_WIDTH is parsed at
+    ONE site; junk values and non-divisor widths WARN once and fall back to
+    the adaptive heuristic — a tuning knob must never kill a running
+    stream, and a fleet-wide setting may not divide every table's bucket
+    count."""
+    import warnings as _warnings
+
+    from investigraph_etl_spark.cdc import apply as apply_mod
     from investigraph_etl_spark.cdc.apply import _parse_fused_width_env
 
     monkeypatch.delenv("SPARK_GRAFT_FUSED_WIDTH", raising=False)
@@ -320,15 +324,21 @@ def test_fused_width_env_parsed_defensively(monkeypatch):
     assert _parse_fused_width_env(32) == (True, None)   # explicit disable
     monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "8")
     assert _parse_fused_width_env(32) == (True, 8)
+
+    monkeypatch.setattr(apply_mod, "_WARNED", set())
     monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "4x")
-    with pytest.raises(ValueError, match="not an integer"):
-        _parse_fused_width_env(32)
-    monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "true")
-    with pytest.raises(ValueError, match="not an integer"):
-        _parse_fused_width_env(32)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert _parse_fused_width_env(32) == (False, None)
+        assert _parse_fused_width_env(32) == (False, None)  # warned once
+    assert len(w) == 1 and "not an integer" in str(w[0].message)
+
+    monkeypatch.setattr(apply_mod, "_WARNED", set())
     monkeypatch.setenv("SPARK_GRAFT_FUSED_WIDTH", "5")
-    with pytest.raises(ValueError, match="does not divide"):
-        _parse_fused_width_env(32)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert _parse_fused_width_env(32) == (False, None)
+    assert len(w) == 1 and "does not divide" in str(w[0].message)
 
 
 def _epoch_tail(flood_rows: int, uniq_rows: int, n_epochs: int):

@@ -270,6 +270,7 @@ def test_distributed_bpe_training_parity(spark):
         "the the the a a an",
         "sp▁style ▁tokens mixed\x00nul",   # hostile: escape path exercised
         "aaa aa aaaa",                     # overlapping-pair counting
+        "nbsp split em space",   # Unicode whitespace: str.split parity
     ] * 3
     want = train_bpe(corpus, n_merges=40)
     df = spark.createDataFrame([(t,) for t in corpus], "text string")

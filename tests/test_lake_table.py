@@ -264,11 +264,13 @@ def test_vacuum_default_grace_spares_young_orphans(spark, tmp_table_root):
 
 
 def test_bucket_fn_stamp_guards_foreign_layouts(spark, tmp_table_root):
-    """ADVICE r4 (medium): the bucket hash is part of the persisted format.
-    A table laid out by a different (or unknown/pre-stamp) bucket function
-    must refuse to open for normal use — writing murmur3 buckets into an
-    xxhash64-era layout leaves two live rows per key — and rebucket() is
-    the migration path that recomputes the layout and re-stamps it."""
+    """ADVICE r4 (medium) + round-5 review: the bucket hash is part of the
+    persisted format. A table laid out by a different (or unknown/pre-stamp)
+    bucket function must refuse EVERY state read — writing murmur3 buckets
+    into an xxhash64-era layout leaves two live rows per key, and reads
+    prune by the computed bucket. Enforcement lives in _state() (not a
+    load-time cache), so even a table swapped underneath an ALREADY-OPEN
+    handle refuses; rebucket() is the migration path."""
     import json
 
     from investigraph_etl_spark.lake.table import BUCKET_FN, BucketFnMismatch
@@ -277,31 +279,29 @@ def test_bucket_fn_stamp_guards_foreign_layouts(spark, tmp_table_root):
     ev = generate_events(GeneratorConfig(n_events=200, seed=91))
     t.merge(_resolved(spark, ev), app_id="t", epoch_id=0)
     assert t._state().bucket_fn == BUCKET_FN
-    LakeTable._bucket_fn_ok.discard(tmp_table_root)
-    LakeTable.load(spark, tmp_table_root)  # matching stamp opens fine
+    LakeTable.load(spark, tmp_table_root).read().count()  # matching stamp: fine
 
     # simulate a legacy / foreign layout: rewrite the create commit's stamp
-    create_path = os.path.join(tmp_table_root, "_log",
-                               f"{1:020d}.json")
+    create_path = os.path.join(tmp_table_root, "_log", f"{1:020d}.json")
     c = json.load(open(create_path))
     c["bucket_fn"] = "xxhash64_pmod_v0"
     json.dump(c, open(create_path, "w"))
-    LakeTable._bucket_fn_ok.discard(tmp_table_root)
     with pytest.raises(BucketFnMismatch):
-        LakeTable.load(spark, tmp_table_root)
+        LakeTable.load(spark, tmp_table_root).read()
+    # the ALREADY-OPEN handle refuses too (the load-time-cache hole)
+    with pytest.raises(BucketFnMismatch):
+        t.merge(_resolved(spark, ev), app_id="t", epoch_id=1)
     # ... and an UNSTAMPED (pre-stamping) table is treated as unknown too
     c["bucket_fn"] = None
     json.dump(c, open(create_path, "w"))
-    LakeTable._bucket_fn_ok.discard(tmp_table_root)
     with pytest.raises(BucketFnMismatch):
-        LakeTable.load(spark, tmp_table_root)
+        LakeTable.load(spark, tmp_table_root).read()
 
     # migration: open unchecked, rebucket (recomputes every bucket with the
-    # current function and stamps it), then normal load works again
+    # current function and stamps it), then normal use works again
     tm = LakeTable.load(spark, tmp_table_root, check_bucket_fn=False)
     n_before = tm.read().count()
     assert tm.rebucket(4)["rebucketed"]
-    LakeTable._bucket_fn_ok.discard(tmp_table_root)
     t2 = LakeTable.load(spark, tmp_table_root)
     assert t2._state().bucket_fn == BUCKET_FN
     assert t2.read().count() == n_before

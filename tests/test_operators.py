@@ -557,6 +557,11 @@ def test_y4m_roundtrip_and_format_rules():
         demux_video,
     )
 
+    from investigraph_etl_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+
     rng = np.random.RandomState(7)
     frames = [rng.randint(0, 256, (6, 8, 3)).astype(np.uint8) for _ in range(4)]
     buf = _y4m_encode(8, 6, 3, frames)
@@ -565,9 +570,14 @@ def test_y4m_roundtrip_and_format_rules():
     assert (w, h, fps) == (8, 6, 3.0)
     assert len(got) == 4
     for a, b in zip(frames, got):
-        assert np.array_equal(a, b)  # lossless container
-    # registry dispatch reaches the same decoder
-    assert np.array_equal(demux_video(buf)[3][2], frames[2])
+        assert np.array_equal(a, b)  # lossless container (plane-exact codec)
+    # registry dispatch emits RGB (demuxer contract: all demuxers → RGB) —
+    # the BT.601 conversion of the same planes
+    assert np.array_equal(demux_video(buf)[3][2], _ycbcr_to_rgb(frames[2]))
+    # and the colorspace pair is an inverse within rounding
+    rgb = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    back = _ycbcr_to_rgb(_rgb_to_ycbcr(rgb))
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 2
 
     # real-world header variants: rational fps, FRAME params, C420 default
     y = bytes(range(16)); cb = b"\x80" * 4; cr = b"\x7f" * 4

@@ -124,8 +124,11 @@ def test_table_maintenance_on_fake_remote(mem):
     orphan_commit = "commit=tok9/bucket=3/part-9.parquet"
     for rel in (live, orphan_file, orphan_commit):
         mem.put_bytes(f"{root}/data/{rel}", b"pq")
+    from investigraph_etl_spark.lake.table import BUCKET_FN
+
     log.commit(Commit(version=1, schema={"type": "struct", "fields": []},
-                      n_buckets=4, key_cols=["k"], mode="mor"))
+                      n_buckets=4, key_cols=["k"], mode="mor",
+                      bucket_fn=BUCKET_FN))
     log.commit(Commit(version=2, added=[live],
                       metrics={"events_applied": 7}))
 
@@ -378,6 +381,15 @@ def test_fsspec_mtime_prefers_info_epoch_and_never_ages_naive(tmp_path):
     p = str(tmp_path / "a.txt")
     open(p, "w").write("x")
     assert st.mtime(p) == 1234.5  # epoch field wins over modified()
+
+    class InfoMillisFS(FakeFsspecFS):
+        """DBFS-style backend reporting epoch MILLIseconds."""
+        def info(self, path):
+            return {"modification_time": 1_700_000_000_123, "type": "file"}
+
+    # millisecond magnitudes are normalized to seconds — misreading ms as s
+    # would make vacuum treat every file as forever-young
+    assert FsspecStorage(InfoMillisFS()).mtime(p) == 1_700_000_000.123
 
     class NaiveLocalFS(FakeFsspecFS):
         """Backend that reports naive LOCAL time (the hazardous kind)."""
