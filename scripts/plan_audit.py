@@ -135,6 +135,67 @@ AUDITED: dict[str, str] = {
 }
 
 
+#: epoch shape → (resolve kwargs, the audit assertion). These are the three
+#: physical shapes apply_events_batch can run an ingest epoch in; the
+#: adaptive choice (cdc/apply.py FUSE_DUP_MAX / FUSE_SKEW_MAX /
+#: FUSE_FLOOD_MAX) is driven by the previous epoch's lineage.
+EPOCH_SHAPES: dict[str, tuple[dict, str]] = {
+    "combine-first (default)": (
+        dict(with_count=True),
+        "Partial aggregation BEFORE the exchange (`partial_max_by` in the "
+        "map-side SortAggregate): shuffle volume is one row per key per map "
+        "task, which is why single-key floods are harmless here (measured: "
+        "a 50%-one-key tail runs 2x FASTER than uniform — BENCH.md round-5 "
+        "flood table). The write adds its own clustering exchange: two "
+        "exchanges per epoch total.",
+    ),
+    "fused one-exchange (pre_partition=8, dividing n_buckets=32)": (
+        dict(with_count=True, pre_partition=8),
+        "ONE `REPARTITION_BY_NUM` hash exchange on conv_id serves BOTH the "
+        "LWW aggregation (HashPartitioning subset rule) AND per-bucket file "
+        "routing (murmur3 identity with the lake's bucket function) — no "
+        "second full-payload shuffle. The trade: the aggregation runs with "
+        "NO partial (map-side) step, so the lineage gates this shape off at "
+        "dup ≥ 2, hottest-bucket share ≥ 0.25, or hottest-KEY share ≥ 0.2 "
+        "(a flooded key would fold inside one task here).",
+    ),
+    "salted two-phase (manual n_salts=8)": (
+        dict(with_count=True, n_salts=8),
+        "Phase 1 groups by (key, pmod(xxhash64(seq), 8)) so one key's rows "
+        "spread over 8 reducers; phase 2 re-merges the ≤8 survivors per "
+        "key. TWO aggregation exchanges — measured 1.4-1.6x SLOWER than "
+        "combine-first on flood tails (map-side combine already bounds "
+        "them), so this stays a manual knob for aggregation shapes without "
+        "combine, never an adaptive default.",
+    ),
+}
+
+
+def epoch_shapes_section(spark) -> str:
+    from investigraph_etl_spark.cdc.generator import GeneratorConfig, generate_events
+    from investigraph_etl_spark.cdc.resolve import resolve_lww
+
+    ev = spark.createDataFrame(
+        generate_events(GeneratorConfig(n_events=2000, seed=3)).drop(columns=["epoch"])
+    )
+    out = io.StringIO()
+    out.write(
+        "\n## ingest epoch shapes (cdc/apply.py adaptive plan)\n\n"
+        "The LWW resolve of one micro-batch, in each of the three physical "
+        "shapes the epoch can run in. Shape selection is per-epoch, from the "
+        "PREVIOUS epoch's lineage (duplication, hottest-bucket share, "
+        "hottest-key share — all free from the write job's Observation).\n"
+    )
+    for label, (kw, claim) in EPOCH_SHAPES.items():
+        df = resolve_lww(ev, **kw)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out.write(f"\n### {label}\n\n**Must hold at scale:** {claim}\n\n")
+        out.write("```\n" + buf.getvalue().strip() + "\n```\n")
+    return out.getvalue()
+
+
 def main() -> None:
     spark = get_spark(app_name="plan-audit", master="local[4]")
     out = io.StringIO()
@@ -152,6 +213,7 @@ def main() -> None:
             df.explain("formatted")
         out.write(f"\n## {name}\n\n**Must hold at scale:** {claim}\n\n")
         out.write("```\n" + buf.getvalue().strip() + "\n```\n")
+    out.write(epoch_shapes_section(spark))
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write(out.getvalue())
