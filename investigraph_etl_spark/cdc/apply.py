@@ -249,7 +249,7 @@ def _lineage_agg(n_buckets: int):
         parts.append(f"sum(CASE WHEN bucket = {b} THEN _cnt END) AS ea_{b}")
         parts.append(f"count(CASE WHEN bucket = {b} THEN 1 END) AS nk_{b}")
         parts.append(f"max(CASE WHEN bucket = {b} THEN ts END) AS wm_{b}")
-    # hottest single KEY's fold count — feeds the auto-salt decision
+    # hottest single KEY's fold count — feeds the fused-shape flood veto
     parts.append("max(_cnt) AS mc")
     return F.expr(f"struct({', '.join(parts)})").alias("lin")
 
