@@ -556,3 +556,84 @@ JOIN sets sb ON sb.doc_id = c.id_b
 WHERE len(list_intersect(sa.sh, sb.sh))
         / len(list_distinct(sa.sh || sb.sh)) >= {threshold}
 """
+
+
+# ==================================================== pairs -> clusters ====
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: ``(doc_id, cluster_id)`` with
+    ``cluster_id`` = the smallest doc id of the connected component — which
+    doubles as the canonical survivor, so "keep one per dup set" is
+    ``filter(doc_id == cluster_id)`` plus the never-paired docs.
+
+    This is the step every curation pipeline runs after pair generation:
+    pairs alone over-delete (a–b and b–c pairs decided independently can
+    drop both b AND c, or keep two of {a, b, c}); the component closure
+    makes the keep-set consistent.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min over its own and its neighbors' labels; converged
+    when nothing changed. Rounds = component diameter — near-dup components
+    are shallow quasi-cliques (band collisions), so a handful of rounds
+    suffices; the O(log n)-round large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce") slots into this loop if a
+    workload ever produces deep chains. Per round: ONE edge⋈label shuffle
+    + a min aggregation + one bounded convergence count; label frames are
+    ``localCheckpoint``'d so plan lineage stays flat across rounds (the
+    iterative-loop lesson from IVF's ``train_centroids``).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()  # reused every round: materialize once, flat lineage
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        joined = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            (F.col("nlabel") < F.col("label")).alias("_chg"),
+        )
+        new_labels = joined.localCheckpoint()
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+    )
+
+
+def connected_components_sql(
+    pairs_sql: str, src: str = "id_a", dst: str = "id_b"
+) -> str:
+    """DuckDB twin of :func:`connected_components`: transitive closure via a
+    recursive CTE (labels walk the symmetric edge set; UNION dedups states,
+    so the walk terminates), then min label per node. Exponential-blowup
+    safe only at oracle scale — the Spark face is the production path."""
+    return f"""
+WITH RECURSIVE
+p AS ({pairs_sql}),
+e AS (SELECT {src} AS a, {dst} AS b FROM p
+      UNION SELECT {dst}, {src} FROM p),
+walk(id, label) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.id
+)
+SELECT id::BIGINT AS doc_id, min(label)::BIGINT AS cluster_id
+FROM walk GROUP BY id
+"""

@@ -675,6 +675,15 @@ def q_dedup_embedding(spark, sf_dir):
     return S.embedding_neardup(_t(spark, sf_dir, "embeddings"), **_LSH_SMALL)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → connected components → (doc_id, cluster_id = canonical
+    survivor): the keep-one-per-dup-set closure over the minhash pairs."""
+    pairs = D.minhash_neardup(
+        _t(spark, sf_dir, "documents"), shingle_k=2, threshold=0.35, kernel="md5"
+    )
+    return D.connected_components(pairs)
+
+
 # ============================================================= similarity ====
 
 
@@ -1066,6 +1075,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1117,6 +1127,9 @@ ORACLES = {
     "dedup_simhash": D.simhash_neardup_sql(max_hamming=3),
     "dedup_ngram": D.ngram_jaccard_pairs_sql(shingle_k=3, threshold=0.2, max_df=20),
     "dedup_embedding": S.embedding_neardup_sql(**_LSH_SMALL),
+    "dedup_clusters": D.connected_components_sql(
+        D.minhash_neardup_sql(shingle_k=2, threshold=0.35)
+    ),
     "ann_topk": S.cosine_topk_sql(),
     "ann_lsh": S.lsh_neighbors_sql(**_LSH_SMALL),
     "ann_ivf": S.ivf_topk_sql(),
@@ -1160,6 +1173,10 @@ PROD_QUERIES = {
     ),
     "dedup_ngram": lambda spark, sf_dir: D.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.2, max_df=20
+    ),
+    "dedup_clusters": lambda spark, sf_dir: D.connected_components(
+        D.minhash_neardup(_t(spark, sf_dir, "documents"), shingle_k=2,
+                          threshold=0.35)
     ),
     "text_fingerprint": lambda spark, sf_dir: _t(spark, sf_dir, "documents").select(
         "doc_id", X.fingerprint64(F.col("text")).alias("fp")

@@ -593,3 +593,33 @@ def test_y4m_roundtrip_and_format_rules():
         demux_video(b"\x00\x01\x02 not a container")
     with _pytest.raises(ValueError, match="colorspace"):
         _y4m_decode(b"YUV4MPEG2 W2 H2 F1:1 Cmono\n" + b"FRAME\n" + b"\x00" * 4)
+
+
+def test_connected_components_clusters(spark):
+    """Pairs → clusters: component closure with min-id labels. Covers a
+    diameter-4 chain (multiple propagation rounds), a triangle merged with
+    it, a separate pair, and label-direction asymmetry (high id first)."""
+    import duckdb
+
+    from investigraph_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_sql,
+    )
+
+    pairs = [(5, 4), (4, 3), (3, 2), (2, 1),      # chain, high→low
+             (10, 11), (11, 12), (10, 12),        # triangle
+             (20, 21)]                            # separate pair
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert got == want
+    # exact agreement with the DuckDB recursive-CTE oracle twin
+    vals = ",".join(f"({a},{b})" for a, b in pairs)
+    sql = connected_components_sql(
+        f"SELECT * FROM (VALUES {vals}) t(id_a, id_b)")
+    assert dict(duckdb.sql(sql).fetchall()) == want
+    # canonical-survivor semantics: keep-set = one doc per component
+    keep = {d for d, c in got.items() if d == c}
+    assert keep == {1, 10, 20}
