@@ -140,6 +140,68 @@ def sample_hash_sql(
     return f"SELECT {cols} FROM {table} WHERE {h} % 100 < {pct}"
 
 
+#: stratified-sampling fraction resolution: fractions are expressed in
+#: basis points of this many hash buckets.
+_STRATA_BUCKETS = 10_000
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+    kernel: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-GROUP sampling — the mix re-balancing step of a
+    training-data pipeline (keep 100% of a rare language/domain, 5% of the
+    dominant one). A row is kept iff its salted id hashes under its group's
+    share of ``_STRATA_BUCKETS`` buckets, so the sample is layout- and
+    cluster-size-invariant and repeatable like :func:`sample_hash`, and
+    per-group rates are exact in expectation with zero coordination — no
+    count pass, no shuffle: the fraction table compiles to a literal CASE
+    (KBs in the plan) and the whole operator is a scan-stage filter.
+    Groups absent from ``fractions`` fall back to ``default``."""
+    bucket = _hash_mod(F.col(id_col), _STRATA_BUCKETS, kernel, salt)
+    thr = None
+    for g, frac in sorted(fractions.items()):
+        t = F.lit(int(round(frac * _STRATA_BUCKETS)))
+        thr = F.when(F.col(group_col) == g, t) if thr is None else thr.when(
+            F.col(group_col) == g, t
+        )
+    dflt = F.lit(int(round(default * _STRATA_BUCKETS)))
+    thr = dflt if thr is None else thr.otherwise(dflt)
+    return df.where(bucket < thr)
+
+
+def sample_stratified_sql(
+    table: str = "documents",
+    group_expr: str = "lang",
+    fractions: dict[str, float] | None = None,
+    default: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`sample_stratified` (md5 kernel)."""
+    fractions = fractions or {}
+    h = (
+        f"('0x' || substr(md5({id_col}::VARCHAR || '{salt}'), 1, 8))::BIGINT"
+        f" % {_STRATA_BUCKETS}"
+    )
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(round(frac * _STRATA_BUCKETS))}"
+        for g, frac in sorted(fractions.items())
+    )
+    case = (
+        f"CASE {group_expr} {whens} ELSE {int(round(default * _STRATA_BUCKETS))} END"
+        if whens
+        else f"{int(round(default * _STRATA_BUCKETS))}"
+    )
+    return f"SELECT {cols} FROM {table} WHERE {h} < {case}"
+
+
 # ------------------------------------------------------------------- packing
 def with_token_counts(
     df: DataFrame, tokenizer, text_col: str = "text",

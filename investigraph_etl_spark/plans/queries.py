@@ -895,6 +895,22 @@ def q_corpus_sample(spark, sf_dir):
     return C.sample_hash(_t(spark, sf_dir, "documents"), pct=10, kernel="md5")
 
 
+#: mix re-balancing recipe for the stratified-sampling face: down-sample the
+#: dominant language, keep every row of the rarest, mid-rate the rest.
+_STRATA = {"en": 0.2, "fr": 1.0}
+_STRATA_DEFAULT = 0.5
+
+
+def q_corpus_stratified(spark, sf_dir):
+    """Per-language deterministic sampling (training-mix re-balancing):
+    en down to 20%, fr kept whole, everything else 50% — all one
+    scan-stage CASE filter, no count pass, no shuffle."""
+    return C.sample_stratified(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang", _STRATA, default=_STRATA_DEFAULT, kernel="md5",
+    )
+
+
 def q_corpus_pack(spark, sf_dir):
     """Greedy sequence packing: documents → per-group token streams → bins of
     ~512 tokens. Only exchange is the even n_groups-way hash partition (no
@@ -1090,6 +1106,7 @@ QUERIES = {
     "asof_last_click": q_asof_last_click,
     "corpus_chunks": q_corpus_chunks,
     "corpus_sample": q_corpus_sample,
+    "corpus_stratified": q_corpus_stratified,
     "corpus_pack": q_corpus_pack,
     "corpus_curate": q_corpus_curate,
     "quantiles_pricing": q_quantiles_pricing,
@@ -1146,6 +1163,10 @@ ORACLES = {
     "corpus_sample": C.sample_hash_sql(
         pct=10, cols="doc_id, text, lang, source, n_chars"
     ),
+    "corpus_stratified": C.sample_stratified_sql(
+        group_expr="lang", fractions=_STRATA, default=_STRATA_DEFAULT,
+        cols="doc_id, lang",
+    ),
     "corpus_pack": C.pack_sequences_sql(_CORPUS_PACK_INNER, budget=512, n_groups=64),
     "corpus_curate": _CURATE_ORACLE,
     "quantiles_pricing": _QUANTILES_ORACLE,
@@ -1197,6 +1218,10 @@ PROD_QUERIES = {
     ),
     "corpus_sample": lambda spark, sf_dir: C.sample_hash(
         _t(spark, sf_dir, "documents"), pct=10, kernel="xxhash64"
+    ),
+    "corpus_stratified": lambda spark, sf_dir: C.sample_stratified(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang", _STRATA, default=_STRATA_DEFAULT,
     ),
     "corpus_curate": lambda spark, sf_dir: _curate(spark, sf_dir, "xxhash64"),
     "corpus_pack": lambda spark, sf_dir: C.pack_sequences(

@@ -280,3 +280,33 @@ def test_distributed_bpe_training_parity(spark):
     tok_a, tok_b = BpeTokenizer(tuple(want)), BpeTokenizer(tuple(got))
     for t in corpus:
         assert tok_a.encode(t) == tok_b.encode(t)
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    """Per-group deterministic sampling: fraction 1.0 keeps the whole group,
+    0.0 drops it entirely, mid fractions land near their rate; identical
+    output across reruns and kernels' exactness properties hold."""
+    from investigraph_etl_spark.operators.corpus import sample_stratified
+
+    SF_DOCS = "/root/testdata/sf0.01/documents.parquet"
+    docs = spark.read.parquet(SF_DOCS).select("doc_id", "lang")
+    totals = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+
+    for kernel in ("md5", "xxhash64"):
+        out = sample_stratified(
+            docs, "lang", {"en": 0.2, "fr": 1.0, "zh": 0.0}, default=0.5,
+            kernel=kernel,
+        )
+        kept = {r["lang"]: r["count"]
+                for r in out.groupBy("lang").count().collect()}
+        assert kept.get("fr", 0) == totals["fr"]          # 1.0 ⇒ all rows
+        assert "zh" not in kept                            # 0.0 ⇒ none
+        en_rate = kept.get("en", 0) / totals["en"]
+        assert 0.05 < en_rate < 0.40                       # ≈0.2 ± hash noise
+        for g in ("de", "es"):                             # default 0.5
+            assert 0.25 < kept.get(g, 0) / totals[g] < 0.75
+        # deterministic: a second evaluation returns the same rows
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in out.collect())
+        assert a == b
